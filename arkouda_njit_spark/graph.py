@@ -1,0 +1,280 @@
+"""Graph / DiGraph / PropGraph over Spark DataFrames.
+
+Reference semantics (capability parity, not a port):
+  * ``Graph.add_edges_from`` canonicalization —
+    /root/reference/arachne/client/arachne/graphclass.py:150-256
+    (symmetrize, dedup with weight *sum* aggregation, keep self-loops once,
+    dense vertex remap in ascending original-label order, CSR segments).
+  * ``DiGraph.add_edges_from`` —
+    /root/reference/arachne/client/arachne/digraphclass.py:74-197
+    (no symmetrization, self-loops removed, isolated vertices dropped).
+  * ``PropGraph`` attribute loading —
+    /root/reference/arachne/client/arachne/propgraphclass.py:99-498.
+
+Spark-first design (SURVEY.md §1.4): a graph is a pair of DataFrames
+
+  ``edges(src_block int, src long, dst long, weight double)``
+     hash-partitioned on ``src`` into ``num_partitions`` partitions and
+     sorted within partitions by (src, dst) — the Double-Index layout's
+     moral equivalent. For undirected graphs the table is *symmetric*
+     (each non-loop edge appears in both orientations; a self-loop once),
+     mirroring the reference's symmetric SDI edge list.
+
+  ``vertices(vid long, label long)``
+     the VERTEX_MAP: dense internal id (0..n-1, dense rank of ascending
+     original label — graphclass.py:213-223) → original label.
+
+The CSR ``SEGMENTS`` arrays are NOT materialized: per-vertex adjacency is
+recovered by hash partitioning + sort, and every kernel is a join/agg over
+the edge table (SURVEY.md §1.4). At 100 TB this table lives as a bucketed
+Parquet/Iceberg table; ``Graph.write`` / ``Graph.read`` round-trip that.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .plans.partitioning import dense_rank_ids
+
+EDGE_COLS = ("src_block", "src", "dst", "weight")
+
+
+def _as_edge_df(
+    spark: SparkSession,
+    src: Sequence[int] | DataFrame,
+    dst: Sequence[int] | None = None,
+    wgt: Sequence[float] | None = None,
+) -> DataFrame:
+    """Accept either a DataFrame with (src, dst[, weight]) or python lists."""
+    if isinstance(src, DataFrame):
+        df = src
+        cols = df.columns
+        if "weight" not in cols:
+            df = df.withColumn("weight", F.lit(1.0))
+        return df.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+            F.col("weight").cast("double").alias("weight"),
+        )
+    if wgt is None:
+        wgt = [1.0] * len(src)
+    rows = list(zip([int(s) for s in src], [int(d) for d in dst], [float(w) for w in wgt]))
+    return spark.createDataFrame(rows, "src long, dst long, weight double")
+
+
+class Graph:
+    """Undirected (optionally weighted) graph.
+
+    Canonical edge table is symmetric; self-loops are kept (stored once),
+    duplicate-edge weights are summed — reference graphclass.py:182-211.
+    """
+
+    directed = False
+
+    def __init__(
+        self,
+        edges: DataFrame,
+        vertices: DataFrame,
+        weighted: bool = False,
+        num_partitions: int | None = None,
+        n_vertices: int | None = None,
+        n_edges: int | None = None,
+    ):
+        self.spark = edges.sparkSession
+        self.edges = edges  # canonical, symmetric for undirected
+        self.vertices = vertices  # (vid, label)
+        self.weighted = weighted
+        self.num_partitions = num_partitions or int(
+            self.spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        self._n_vertices = n_vertices
+        self._n_edges = n_edges
+        self._degrees: DataFrame | None = None
+
+    # -- construction ------------------------------------------------------
+    @classmethod
+    def from_edges(
+        cls,
+        spark: SparkSession,
+        src: Sequence[int] | DataFrame,
+        dst: Sequence[int] | None = None,
+        wgt: Sequence[float] | None = None,
+        num_partitions: int | None = None,
+        weighted: bool | None = None,
+    ) -> "Graph":
+        raw = _as_edge_df(spark, src, dst, wgt)
+        if weighted is None:
+            weighted = not isinstance(src, DataFrame) and wgt is not None
+        return cls._build(spark, raw, weighted, num_partitions)
+
+    @classmethod
+    def _build(cls, spark, raw: DataFrame, weighted: bool, num_partitions: int | None):
+        P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if not cls.directed:
+            # Symmetrize (concat both orientations — graphclass.py:182-183);
+            # self-loops stay, appearing once after dedup.
+            raw = raw.unionAll(
+                raw.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+                )
+            )
+        else:
+            # DiGraph: drop self-loops — digraphclass.py:118-127.
+            raw = raw.filter(F.col("src") != F.col("dst"))
+
+        # Dedup; duplicate weights sum-aggregated — graphclass.py:192-196.
+        dedup = raw.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+
+        # Dense vertex remap, ascending original label — graphclass.py:213-223.
+        # Scalable two-pass dense rank (no single-partition window): see
+        # plans/partitioning.dense_rank_ids.
+        labels = (
+            dedup.select(F.col("src").alias("label"))
+            .unionAll(dedup.select(F.col("dst").alias("label")))
+            .distinct()
+        )
+        vertices = dense_rank_ids(labels, "label", P, out_col="vid")
+        vertices = vertices.repartition(P, "vid").persist()
+
+        vsrc = vertices.select(F.col("label").alias("src"), F.col("vid").alias("_svid"))
+        vdst = vertices.select(F.col("label").alias("dst"), F.col("vid").alias("_dvid"))
+        remapped = (
+            dedup.join(vsrc, "src").join(vdst, "dst")
+            .select(
+                F.col("_svid").alias("src"),
+                F.col("_dvid").alias("dst"),
+                "weight",
+            )
+        )
+        if not cls.directed:
+            # Keep each undirected pair in both orientations, a self-loop once:
+            # dedup already achieved that (symmetrized input).
+            pass
+        edges = (
+            remapped.withColumn("src_block", F.pmod(F.xxhash64("src"), F.lit(P)).cast("int"))
+            .select(*EDGE_COLS)
+            .repartition(P, "src")
+            .sortWithinPartitions("src", "dst")
+            .persist()
+        )
+        g = cls(edges, vertices, weighted=weighted, num_partitions=P)
+        return g
+
+    # -- scalars -----------------------------------------------------------
+    @property
+    def n_vertices(self) -> int:
+        if self._n_vertices is None:
+            self._n_vertices = self.vertices.count()
+        return self._n_vertices
+
+    @property
+    def n_edges(self) -> int:
+        """Undirected: distinct undirected edges incl. self-loops
+        (symmetric rows + self-loops, halved) — graphclass.py:199-211."""
+        if self._n_edges is None:
+            total = self.edges.count()
+            if self.directed:
+                self._n_edges = total
+            else:
+                loops = self.edges.filter(F.col("src") == F.col("dst")).count()
+                self._n_edges = (total - loops) // 2 + loops
+        return self._n_edges
+
+    def __len__(self) -> int:
+        return self.n_vertices
+
+    def size(self) -> int:
+        return self.n_edges
+
+    # -- info ops (GraphInfoMsg.chpl:28-116 parity) -------------------------
+    def nodes(self) -> DataFrame:
+        """Original vertex labels, ascending — graphclass.py:67-80."""
+        return self.vertices.orderBy("vid").select("label")
+
+    def edge_list(self) -> DataFrame:
+        """Edges mapped back to original labels — graphclass.py:82-102."""
+        vs = self.vertices.select(F.col("vid").alias("src"), F.col("label").alias("src_label"))
+        vd = self.vertices.select(F.col("vid").alias("dst"), F.col("label").alias("dst_label"))
+        return (
+            self.edges.join(vs, "src").join(vd, "dst")
+            .select("src_label", "dst_label", "weight")
+            .orderBy("src_label", "dst_label")
+        )
+
+    def density(self) -> float:
+        """2m/(n(n-1)) undirected, m/(n(n-1)) directed —
+        graphclass.py:104-106 / digraphclass.py:69-71."""
+        n, m = self.n_vertices, self.n_edges
+        if n <= 1:
+            return 0.0
+        return (1.0 if self.directed else 2.0) * m / (n * (n - 1))
+
+    # -- degrees -----------------------------------------------------------
+    def degree(self) -> DataFrame:
+        """(vid, degree): symmetric-list group sizes, self-loops +1 —
+        graphclass.py:134-148; matches ``nx.Graph.degree`` (loop counts 2)."""
+        if self._degrees is not None:
+            return self._degrees
+        deg = self.edges.groupBy("src").agg(
+            (F.count("*") + F.count(F.when(F.col("src") == F.col("dst"), 1))).alias("degree")
+        ).select(F.col("src").alias("vid"), "degree")
+        out = (
+            self.vertices.join(deg, "vid", "left")
+            .select("vid", F.coalesce("degree", F.lit(0)).alias("degree"))
+        )
+        self._degrees = out.repartition(self.num_partitions, "vid").persist()
+        return self._degrees
+
+    # -- persistence (the bucketed-table path for 100 TB reuse) -------------
+    def write(self, path: str, mode: str = "overwrite") -> None:
+        self.edges.write.mode(mode).parquet(f"{path}/edges")
+        self.vertices.write.mode(mode).parquet(f"{path}/vertices")
+
+    @classmethod
+    def read(cls, spark: SparkSession, path: str, num_partitions: int | None = None) -> "Graph":
+        P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        edges = (
+            spark.read.parquet(f"{path}/edges")
+            .repartition(P, "src")
+            .sortWithinPartitions("src", "dst")
+            .persist()
+        )
+        vertices = spark.read.parquet(f"{path}/vertices").repartition(P, "vid").persist()
+        return cls(edges, vertices, num_partitions=P)
+
+    def unpersist(self) -> None:
+        for df in (self.edges, self.vertices, self._degrees):
+            if df is not None:
+                df.unpersist()
+
+
+class DiGraph(Graph):
+    """Directed graph: no symmetrization; self-loops removed; vertices are
+    endpoints of surviving edges — digraphclass.py:74-197."""
+
+    directed = True
+
+    def out_degree(self) -> DataFrame:
+        deg = self.edges.groupBy("src").count()
+        return (
+            self.vertices.join(deg, self.vertices.vid == deg.src, "left")
+            .select("vid", F.coalesce("count", F.lit(0)).alias("out_degree"))
+        )
+
+    def in_degree(self) -> DataFrame:
+        deg = self.edges.groupBy("dst").count()
+        return (
+            self.vertices.join(deg, self.vertices.vid == deg.dst, "left")
+            .select("vid", F.coalesce("count", F.lit(0)).alias("in_degree"))
+        )
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Symmetric view of a directed edge table (used by kernels that need
+    undirected semantics over a DiGraph, e.g. connected components)."""
+    return edges.select("src", "dst", "weight").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    ).distinct()

@@ -1,0 +1,96 @@
+"""Connected components: hash-min label exchange + pointer jumping.
+
+Reference kernel: FastSV-style min-label propagation with atomic CAS
+min-updates and locale-local fixpoints —
+/root/reference/arachne/server/ConnectedComponents.chpl:22-104; the dev tree
+documents the algorithm family (cc_fast_sv etc., CCMsg.chpl:92-850).
+
+Spark-first formulation (north rule names it): per round every vertex takes
+the min label over {its own label} ∪ {labels of its neighbors}; after each
+exchange a **pointer-jumping** round (label := label-of-label) compresses
+chains so convergence is O(log d) instead of O(d) rounds. The CAS min-update
+becomes a shuffle-safe associative ``groupBy(vid).agg(min(label))`` — the
+map-side partial min is Spark's analogue of the reference's locale-local
+fixpoint (SURVEY.md §4).
+
+Label convention matches the reference exactly: the final component label is
+the minimum internal vertex id in the component (dense ids assigned in
+ascending original-label order), e.g. components {0..6},{7,8,9},{10,11,12}
+→ labels [0,7,10] (algorithm_test.py:272-285).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import Graph
+from ..plans.iterate import FixpointLoop, count_changed
+
+
+def connected_components(
+    graph: Graph,
+    checkpoint_dir: str | None = None,
+    max_iterations: int = 100,
+    collect_partition_metrics: bool = False,
+) -> DataFrame:
+    """Per-vertex component labels: DataFrame (vid, component).
+
+    The component id is the minimum internal vid of the component
+    (ConnectedComponents.chpl semantics).
+    """
+    P = graph.num_partitions
+    # Undirected semantics regardless of graph direction (reference treats
+    # the graph as symmetric via the reversed arrays).
+    if graph.directed:
+        edges = graph.edges.select("src", "dst").unionAll(
+            graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        edges = edges.repartition(P, "src").persist()
+    else:
+        edges = graph.edges.select("src", "dst")
+
+    init = graph.vertices.select("vid", F.col("vid").alias("component"))
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        # 1. Hash-min exchange: neighbor labels flow along edges.
+        #    edges is hash-partitioned by src and state by vid with the same
+        #    partition count, so the join reuses the cached edge partitioning.
+        nbr = (
+            edges.join(state.withColumnRenamed("vid", "src"), "src")
+            .select(F.col("dst").alias("vid"), "component")
+        )
+        exchanged = (
+            state.unionAll(nbr)
+            .groupBy("vid")
+            .agg(F.min("component").alias("component"))
+        )
+        # 2. Pointer jumping: component := component(component) compresses
+        #    label chains (the reference's path-halving, Diameter.chpl:33-49).
+        parent = exchanged.select(
+            F.col("vid").alias("component"), F.col("component").alias("grand")
+        )
+        jumped = (
+            exchanged.join(parent, "component")
+            .select("vid", F.col("grand").alias("component"))
+        )
+        return jumped.repartition(P, "vid")
+
+    loop = FixpointLoop(
+        "connected_components",
+        step,
+        convergence=count_changed("vid", "component"),
+        max_iterations=max_iterations,
+        tol=0.0,
+        checkpoint_dir=checkpoint_dir,
+        collect_partition_metrics=collect_partition_metrics,
+    )
+    result = loop.run(init)
+    if graph.directed:
+        edges.unpersist()
+    return result
+
+
+def component_sizes(components: DataFrame) -> DataFrame:
+    """(component, size) — the GroupBy.size() the reference test applies."""
+    return components.groupBy("component").agg(F.count("*").alias("size"))

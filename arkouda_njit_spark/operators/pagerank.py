@@ -1,0 +1,104 @@
+"""PageRank: power iteration with dangling-mass redistribution.
+
+Absent from the reference (SURVEY.md §2.7) but mandated by
+BASELINE.json.north_rule. Semantics match ``networkx.pagerank`` (the
+reference project's oracle convention, algorithm_test.py:66-79):
+
+  x_{t+1}(v) = (1-a)/N + a * ( sum_{u->v} x_t(u) * w(u,v)/W(u)
+                               + dangling_mass_t / N )
+
+  converged when  sum_v |x_{t+1}(v) - x_t(v)| < N * tol   (nx default 1e-6).
+
+Scale design (north rule): the edge table stays cached and hash-partitioned
+by ``src``; the rank vector is co-partitioned by ``vid`` so the per-iteration
+``ranks ⋈ edges`` needs no exchange on the (large) edge side. The dangling
+mass is ONE scalar aggregate per iteration broadcast back into the update
+expression — never a driver-side loop over vertices. Hub skew on ``dst``
+is bounded by map-side partial aggregation of contributions (sum is
+associative); AQE skew-join handles residual imbalance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import Graph
+from ..plans.iterate import FixpointLoop, l1_diff
+
+
+def pagerank(
+    graph: Graph,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_iterations: int = 100,
+    weight: str | None = None,
+    checkpoint_dir: str | None = None,
+    collect_partition_metrics: bool = False,
+) -> DataFrame:
+    """Per-vertex PageRank: DataFrame (vid, rank). Undirected graphs use the
+    symmetric edge table (each edge contributes both directions), matching
+    ``nx.pagerank`` on ``nx.Graph``."""
+    P = graph.num_partitions
+    n = graph.n_vertices
+    if n == 0:
+        return graph.vertices.select("vid", F.lit(0.0).alias("rank"))
+
+    wcol = F.col(weight) if weight else F.lit(1.0)
+    edges = graph.edges.select("src", "dst", wcol.alias("w"))
+    # Out-weight per source; transition probability = w / total_out(src).
+    # (NB: Spark analysis is case-insensitive, so "W" would clash with "w".)
+    outw = edges.groupBy("src").agg(F.sum("w").alias("out_total"))
+    trans = (
+        edges.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_total")).alias("p"))
+        .repartition(P, "src")
+        .persist()
+    )
+    trans.count()  # materialize once; reused every iteration
+
+    # Dangling vertices (no out-edges).
+    dangling = (
+        graph.vertices.join(outw, graph.vertices.vid == outw.src, "left_anti")
+        .select("vid")
+        .persist()
+    )
+
+    init = graph.vertices.select("vid", F.lit(1.0 / n).alias("rank"))
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        # ONE scalar aggregate for the dangling mass, folded back in as a
+        # literal (broadcast) — never a driver loop over vertices.
+        dangle_mass = (
+            state.join(dangling, "vid", "left_semi").agg(F.sum("rank")).collect()[0][0]
+        ) or 0.0
+        contribs = (
+            trans.join(state.withColumnRenamed("vid", "src"), "src")
+            .select(F.col("dst").alias("vid"), (F.col("p") * F.col("rank")).alias("c"))
+            .groupBy("vid")
+            .agg(F.sum("c").alias("c"))
+        )
+        base = (1.0 - alpha) / n + alpha * dangle_mass / n
+        return (
+            state.select("vid")
+            .join(contribs, "vid", "left")
+            .select(
+                "vid",
+                (F.lit(base) + F.lit(alpha) * F.coalesce(F.col("c"), F.lit(0.0))).alias("rank"),
+            )
+            .repartition(P, "vid")
+        )
+
+    loop = FixpointLoop(
+        "pagerank",
+        step,
+        convergence=l1_diff("vid", "rank"),
+        max_iterations=max_iterations,
+        tol=n * tol,
+        checkpoint_dir=checkpoint_dir,
+        collect_partition_metrics=collect_partition_metrics,
+    )
+    result = loop.run(init)
+    trans.unpersist()
+    dangling.unpersist()
+    return result

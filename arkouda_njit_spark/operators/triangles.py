@@ -1,0 +1,120 @@
+"""Triangle counting: degree-ordered edge orientation + intersection join.
+
+Reference kernel: edge-iterator with minimum-degree neighborhood scan +
+binary search in the sorted adjacency —
+/root/reference/arachne/server/TriangleCount.chpl:17-85 (helpers
+Utils.chpl:46-52,124-153). Its minimum-degree side selection is the same
+idea as the standard **degree orientation** we use here (SURVEY.md §4):
+
+  * orient every undirected edge {u,v} from the endpoint with the smaller
+    (degree, vid) to the larger — every vertex's oriented out-degree is
+    O(sqrt(m)), which caps the wedge-join fan-out of power-law hubs (the
+    north rule's skew requirement; no salting needed because orientation
+    itself bounds the hot keys);
+  * wedges = oriented ⋈ oriented on the shared pivot (the triangle's
+    minimum-(deg,vid) vertex);
+  * a wedge closes iff its (a,b) endpoints are an edge — a semi-join
+    against the canonical edge set, which Spark executes as a sort-merge
+    join on the pre-sorted bucketed table (the reference's binary search).
+
+Each triangle is counted exactly once (unique pivot, canonical pair order).
+The reference's ``triangles`` *total* is 3× this (sum of per-vertex counts;
+/root/reference/arachne/client/arachne/methods.py:181-183 notes the /3
+NetworkX convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import Graph
+
+
+def _undirected_simple_edges(graph: Graph) -> DataFrame:
+    """Distinct non-loop edges as (u, v) with u < v."""
+    e = graph.edges.select("src", "dst")
+    if graph.directed:
+        e = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return (
+        e.filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .distinct()
+    )
+
+
+def oriented_edges(graph: Graph) -> DataFrame:
+    """Degree-ordered orientation: (lo, hi) with (deg,vid) of lo < of hi."""
+    und = _undirected_simple_edges(graph)
+    deg = (
+        und.select(F.col("u").alias("vid"))
+        .unionAll(und.select(F.col("v").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("vid").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("vid").alias("v"), F.col("deg").alias("dv"))
+    ordered = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("lo"), F.col("v").alias("hi")),
+            )
+            .otherwise(F.struct(F.col("v").alias("lo"), F.col("u").alias("hi")))
+            .alias("e")
+        )
+        .select("e.lo", "e.hi")
+    )
+    return ordered
+
+
+def triangle_rows(graph: Graph) -> DataFrame:
+    """All triangles, one row each: (a, b, c) with no canonical meaning
+    beyond distinctness (a = pivot, b < c in vid order)."""
+    P = graph.num_partitions
+    o = oriented_edges(graph).repartition(P, "lo").persist()
+    und = _undirected_simple_edges(graph)
+    w1 = o.select(F.col("lo").alias("p"), F.col("hi").alias("b"))
+    w2 = o.select(F.col("lo").alias("p"), F.col("hi").alias("c"))
+    wedges = w1.join(w2, "p").filter(F.col("b") < F.col("c"))
+    closed = wedges.join(
+        und,
+        (F.col("b") == F.col("u")) & (F.col("c") == F.col("v")),
+        "left_semi",
+    ).select(F.col("p").alias("a"), "b", "c")
+    return closed
+
+
+def triangle_count(graph: Graph) -> int:
+    """Number of distinct triangles (= reference total / 3)."""
+    return triangle_rows(graph).count()
+
+
+def triangles_per_vertex(graph: Graph, vertices: list[int] | None = None) -> DataFrame:
+    """(vid, triangles) for every vertex — nx.triangles / reference
+    per-vertex variant (TriangleCount.chpl:51-85). ``vertices`` filters to
+    the given *original labels* in their given order is the caller's
+    concern; here vid-space counts are returned."""
+    tri = triangle_rows(graph)
+    incid = (
+        tri.select(F.col("a").alias("vid"))
+        .unionAll(tri.select(F.col("b").alias("vid")))
+        .unionAll(tri.select(F.col("c").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count("*").alias("triangles"))
+    )
+    out = graph.vertices.join(incid, "vid", "left").select(
+        "vid", F.coalesce("triangles", F.lit(0)).alias("triangles")
+    )
+    if vertices is not None:
+        out = out.filter(F.col("vid").isin([int(v) for v in vertices]))
+    return out
+
+
+def triangle_total_reference(graph: Graph) -> int:
+    """The reference's ``ar.triangles(graph)`` scalar: sum of per-vertex
+    counts = 3 × distinct triangles (methods.py:173-222)."""
+    return 3 * triangle_count(graph)

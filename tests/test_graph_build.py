@@ -1,0 +1,78 @@
+"""Graph/DiGraph construction parity — reference class_test.py:74-181."""
+
+import networkx as nx
+import pytest
+
+from arkouda_njit_spark import DiGraph, Graph
+
+from fixtures import ALGO28_DST, ALGO28_SRC, ALGO28_WGT, nx_graph
+
+
+@pytest.fixture(scope="module")
+def gs(spark):
+    g = Graph.from_edges(spark, ALGO28_SRC, ALGO28_DST)
+    dg = DiGraph.from_edges(spark, ALGO28_SRC, ALGO28_DST)
+    nxg = nx_graph(ALGO28_SRC, ALGO28_DST)
+    nxdg = nx_graph(ALGO28_SRC, ALGO28_DST, directed=True)
+    # reference DiGraph removes self-loops and isolated vertices
+    # (class_test.py:63-71).
+    nxdg.remove_edges_from(nx.selfloop_edges(nxdg))
+    nxdg.remove_nodes_from([v for v, d in nxdg.degree() if d == 0])
+    return g, dg, nxg, nxdg
+
+
+def test_counts_undirected(gs):
+    g, _, nxg, _ = gs
+    assert (len(g), g.size()) == (len(nxg), nxg.size())
+
+
+def test_counts_directed(gs):
+    _, dg, _, nxdg = gs
+    assert (len(dg), dg.size()) == (len(nxdg), nxdg.size())
+
+
+def test_nodes_and_edge_list(gs):
+    g, dg, nxg, nxdg = gs
+    assert [r["label"] for r in g.nodes().collect()] == sorted(nxg.nodes())
+    # symmetric list counts each non-loop edge twice, self-loop once
+    # (class_test.py:112-116)
+    n_sym = g.edges.count()
+    assert n_sym == 2 * nxg.size() - nx.number_of_selfloops(nxg)
+    assert dg.edges.count() == nxdg.size()
+
+
+def test_density(gs):
+    g, dg, nxg, nxdg = gs
+    assert g.density() == pytest.approx(nx.density(nxg))
+    assert dg.density() == pytest.approx(nx.density(nxdg))
+
+
+def test_degree_undirected(gs):
+    g, _, nxg, _ = gs
+    vid_to_label = {r["vid"]: r["label"] for r in g.vertices.collect()}
+    got = {vid_to_label[r["vid"]]: r["degree"] for r in g.degree().collect()}
+    assert got == dict(nxg.degree())
+
+
+def test_degree_directed(gs):
+    _, dg, _, nxdg = gs
+    vid_to_label = {r["vid"]: r["label"] for r in dg.vertices.collect()}
+    got_out = {vid_to_label[r["vid"]]: r["out_degree"] for r in dg.out_degree().collect()}
+    got_in = {vid_to_label[r["vid"]]: r["in_degree"] for r in dg.in_degree().collect()}
+    assert got_out == dict(nxdg.out_degree())
+    assert got_in == dict(nxdg.in_degree())
+
+
+def test_weight_sum_aggregation(spark):
+    # duplicate edges sum weights — graphclass.py:192-196
+    g = Graph.from_edges(spark, [1, 1, 2], [2, 2, 3], [1.0, 2.0, 5.0])
+    rows = {(r["src"], r["dst"]): r["weight"] for r in g.edges.collect()}
+    labels = {r["label"]: r["vid"] for r in g.vertices.collect()}
+    assert rows[(labels[1], labels[2])] == 3.0
+    assert rows[(labels[2], labels[3])] == 5.0
+
+
+def test_dense_remap_ascending(spark):
+    g = Graph.from_edges(spark, [100, 7, 50], [7, 50, 100])
+    got = sorted((r["vid"], r["label"]) for r in g.vertices.collect())
+    assert got == [(0, 7), (1, 50), (2, 100)]

@@ -1,0 +1,45 @@
+"""Triangle count vs NetworkX — algorithm_test.py:118-134 parity."""
+
+import networkx as nx
+
+from arkouda_njit_spark import Graph
+from arkouda_njit_spark.operators import (
+    triangle_count,
+    triangle_total_reference,
+    triangles_per_vertex,
+)
+
+from fixtures import ALGO28_DST, ALGO28_SRC, nx_graph
+
+
+def test_triangles_total(spark):
+    graph = Graph.from_edges(spark, ALGO28_SRC, ALGO28_DST)
+    nxg = nx_graph(ALGO28_SRC, ALGO28_DST)
+    nx_total = sum(nx.triangles(nxg).values())  # 3 x distinct
+    assert triangle_total_reference(graph) == nx_total
+    assert triangle_count(graph) == nx_total // 3
+
+
+def test_triangles_per_vertex(spark):
+    graph = Graph.from_edges(spark, ALGO28_SRC, ALGO28_DST)
+    nxg = nx_graph(ALGO28_SRC, ALGO28_DST)
+    vid_to_label = {r["vid"]: r["label"] for r in graph.vertices.collect()}
+    got = {
+        vid_to_label[r["vid"]]: r["triangles"]
+        for r in triangles_per_vertex(graph).collect()
+    }
+    assert got == nx.triangles(nxg)
+
+
+def test_triangles_subset(spark):
+    graph = Graph.from_edges(spark, ALGO28_SRC, ALGO28_DST)
+    nxg = nx_graph(ALGO28_SRC, ALGO28_DST)
+    label_to_vid = {r["label"]: r["vid"] for r in graph.vertices.collect()}
+    nodes = [0, 2, 3, 4]
+    vids = [label_to_vid[n] for n in nodes]
+    got = {
+        r["vid"]: r["triangles"]
+        for r in triangles_per_vertex(graph, vertices=vids).collect()
+    }
+    expected = nx.triangles(nxg, nodes)
+    assert got == {label_to_vid[n]: c for n, c in expected.items()}
