@@ -1,6 +1,12 @@
+from .bfs import bfs_layers
 from .connected_components import component_sizes, connected_components
+from .diameter import diameter
+from .jaccard import jaccard_coefficients
+from .ktruss import k_truss, max_truss, truss_decomposition
 from .label_propagation import label_propagation
 from .pagerank import pagerank
+from .squares import squares
+from .triangle_centrality import triangle_centrality
 from .triangles import (
     triangle_count,
     triangle_total_reference,
@@ -8,11 +14,19 @@ from .triangles import (
 )
 
 __all__ = [
+    "bfs_layers",
     "connected_components",
     "component_sizes",
+    "diameter",
+    "jaccard_coefficients",
+    "k_truss",
     "label_propagation",
+    "max_truss",
     "pagerank",
+    "squares",
+    "triangle_centrality",
     "triangle_count",
     "triangle_total_reference",
     "triangles_per_vertex",
+    "truss_decomposition",
 ]

@@ -1,0 +1,61 @@
+"""Breadth-first search layers (level-synchronous frontier expansion).
+
+Reference kernel: /root/reference/arachne/server/BreadthFirstSearch.chpl:27-138
+(shared-memory frontier lists + aggregated distributed version); client API
+``bfs_layers(graph, source) -> depth array`` (methods.py:146-171), depth -1
+for unreachable vertices.
+
+Spark formulation: the frontier is its own small DataFrame; one iteration is
+``frontier ⋈ edges → distinct dst − visited``. The frontier is usually tiny
+relative to the edge table, so Spark broadcasts it under AQE (the reference's
+aggregation buffers correspond to the shuffle write path when it isn't).
+Visited state accumulates as (vid, depth); lineage is truncated per level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import Graph
+
+
+def bfs_layers(graph: Graph, source: int, source_is_label: bool = True) -> DataFrame:
+    """(vid, depth) for every vertex; depth -1 if unreachable.
+
+    ``source`` is an original vertex label by default (reference API takes
+    labels); pass ``source_is_label=False`` for an internal vid.
+    """
+    spark = graph.spark
+    if source_is_label:
+        row = graph.vertices.filter(F.col("label") == int(source)).collect()
+        if not row:
+            raise ValueError(f"source vertex {source} not in graph")
+        src_vid = row[0]["vid"]
+    else:
+        src_vid = int(source)
+
+    edges = graph.edges.select("src", "dst")
+    visited = spark.createDataFrame([(src_vid, 0)], "vid long, depth int").localCheckpoint(
+        eager=True
+    )
+    frontier = visited.select("vid")
+    depth = 0
+    while True:
+        depth += 1
+        nxt = (
+            edges.join(frontier.withColumnRenamed("vid", "src"), "src")
+            .select(F.col("dst").alias("vid"))
+            .distinct()
+            .join(visited, "vid", "left_anti")
+            .withColumn("depth", F.lit(depth))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("vid")
+
+    return graph.vertices.join(visited, "vid", "left").select(
+        "vid", F.coalesce("depth", F.lit(-1)).alias("depth")
+    )

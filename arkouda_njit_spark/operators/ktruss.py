@@ -1,0 +1,157 @@
+"""k-truss: iterative support-based edge peeling; max-truss; decomposition.
+
+Reference kernels: /root/reference/arachne/server/TrussMsg.chpl —
+``kTrussMinSearch`` (128-617), ``MaxTrussMinSearch`` (951-1129),
+``TrussDecoMinSearch`` (1130+), with degree pre-peeling (222-247) and a
+degeneracy-style upper bound for max-k (``getupK``, 109-126). Client API
+and output conventions: methods.py:278-367 —
+
+  * ``k_truss(graph, k)``: per-edge array over the n_edges canonical edges
+    (sorted (u,v), u<v): **-1 if the edge survives in the k-truss**, else
+    k-1 (the value the reference stamps on deleted edges).
+  * ``max_truss(graph)``: largest k with a non-empty k-truss.
+  * ``truss_decomposition(graph)``: per-edge max k such that the edge is in
+    the k-truss (trivially 2 for triangle-free edges).
+
+Spark formulation: per round, per-edge triangle support = a wedge join over
+the *current* edge subset (degree-ordered orientation bounds hub fan-out),
+then ``filter(support < k-2)`` peels; repeat until no edge is deleted.
+Each peel round is checkpointed — exactly the reference's materialized
+EdgeDeleted array per iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import Graph
+from .triangles import _undirected_simple_edges
+
+
+def _support(edges: DataFrame) -> DataFrame:
+    """Per-edge triangle support over an (u,v) u<v edge set: for each edge,
+    the number of triangles it participates in."""
+    deg = (
+        edges.select(F.col("u").alias("vid"))
+        .unionAll(edges.select(F.col("v").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("vid").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("vid").alias("v"), F.col("deg").alias("dv"))
+    o = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("lo"), F.col("v").alias("hi")),
+            )
+            .otherwise(F.struct(F.col("v").alias("lo"), F.col("u").alias("hi")))
+            .alias("e")
+        )
+        .select("e.lo", "e.hi")
+    )
+    w1 = o.select(F.col("lo").alias("p"), F.col("hi").alias("b"))
+    w2 = o.select(F.col("lo").alias("p"), F.col("hi").alias("c"))
+    tri = (
+        w1.join(w2, "p")
+        .filter(F.col("b") < F.col("c"))
+        .join(
+            edges,
+            (F.col("b") == F.col("u")) & (F.col("c") == F.col("v")),
+            "left_semi",
+        )
+        .select(F.col("p").alias("a"), "b", "c")
+    )
+    # each triangle supports its 3 edges (normalize to u<v)
+    e1 = tri.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+    e2 = tri.select(F.least("a", "c").alias("u"), F.greatest("a", "c").alias("v"))
+    e3 = tri.select(F.least("b", "c").alias("u"), F.greatest("b", "c").alias("v"))
+    sup = e1.unionAll(e2).unionAll(e3).groupBy("u", "v").agg(F.count("*").alias("support"))
+    return edges.join(sup, ["u", "v"], "left").select(
+        "u", "v", F.coalesce("support", F.lit(0)).alias("support")
+    )
+
+
+def _truss_edges(edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
+    """Surviving (u,v) edge set of the k-truss (support >= k-2 fixpoint)."""
+    cur = edges.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        n_before = cur.count()
+        if n_before == 0:
+            break
+        nxt = (
+            _support(cur)
+            .filter(F.col("support") >= k - 2)
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == n_before:
+            cur = nxt
+            break
+        cur = nxt
+    return cur
+
+
+def k_truss(graph: Graph, k: int) -> DataFrame:
+    """(u, v, value) over canonical u<v edges: -1 survives, k-1 deleted."""
+    edges = _undirected_simple_edges(graph)
+    kept = _truss_edges(edges, k)
+    return edges.join(kept.withColumn("_kept", F.lit(1)), ["u", "v"], "left").select(
+        "u",
+        "v",
+        F.when(F.col("_kept").isNotNull(), F.lit(-1)).otherwise(F.lit(k - 1)).alias("value"),
+    )
+
+
+def max_truss(graph: Graph) -> int:
+    """Largest k with a non-empty k-truss.
+
+    Binary search over k (the reference's ``MaxTrussMinSearch``,
+    TrussMsg.chpl:951-1129, likewise searches k), bracketed by the
+    degeneracy-style upper bound max_support + 2 (``getupK``,
+    TrussMsg.chpl:109-126 uses a degree histogram; per-edge max support is
+    the tighter, one-aggregation bound). Monotonicity ((k+1)-truss ⊆
+    k-truss) lets each probe reuse the surviving subgraph of the largest
+    known-feasible k."""
+    edges = _undirected_simple_edges(graph).localCheckpoint(eager=True)
+    if edges.isEmpty():
+        return 0
+    max_sup = _support(edges).agg(F.max("support")).collect()[0][0] or 0
+    if max_sup == 0:
+        return 2
+    lo, hi = 3, max_sup + 2  # k-truss needs support >= k-2
+    best, best_edges = 2, edges
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        kept = _truss_edges(best_edges, mid)
+        if kept.isEmpty():
+            hi = mid - 1
+        else:
+            best, best_edges = mid, kept
+            lo = mid + 1
+    return best
+
+
+def truss_decomposition(graph: Graph) -> DataFrame:
+    """(u, v, truss) over canonical u<v edges: max k per edge, min 2."""
+    edges = _undirected_simple_edges(graph).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    assigned = None  # (u, v, truss)
+    cur = edges
+    k = 3
+    while not cur.isEmpty():
+        kept = _truss_edges(cur, k)
+        removed = cur.join(kept, ["u", "v"], "left_anti").withColumn(
+            "truss", F.lit(k - 1)
+        )
+        assigned = removed if assigned is None else assigned.unionAll(removed)
+        assigned = assigned.localCheckpoint(eager=True)
+        cur = kept
+        k += 1
+    if assigned is None:
+        assigned = spark.createDataFrame([], "u long, v long, truss int")
+    return assigned

@@ -1,0 +1,34 @@
+from .files import (
+    read_cluster_file,
+    read_matrix_market_file,
+    read_tsv_file,
+    write_cluster_file,
+)
+from .generators import (
+    complete_graph,
+    gnp_random_graph,
+    karate_club_graph,
+    path_graph,
+    random_tree,
+    rmat_graph,
+    watts_strogatz_graph,
+)
+from .pages import build_web_graph, extract_links, extract_text, generate_pages
+
+__all__ = [
+    "read_matrix_market_file",
+    "read_tsv_file",
+    "read_cluster_file",
+    "write_cluster_file",
+    "complete_graph",
+    "path_graph",
+    "karate_club_graph",
+    "random_tree",
+    "gnp_random_graph",
+    "rmat_graph",
+    "watts_strogatz_graph",
+    "generate_pages",
+    "extract_links",
+    "extract_text",
+    "build_web_graph",
+]

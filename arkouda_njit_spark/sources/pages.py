@@ -1,0 +1,201 @@
+"""Common-Crawl-style pages table: deterministic generator, link extraction,
+web-graph build — the engine's primary input path (BASELINE.json.input_hint:
+``(url string, warc_ts timestamp, html binary, text string, lang string)``).
+
+* ``generate_pages`` is pure column expressions over ``spark.range`` —
+  deterministic (hash-seeded), no UDFs, partition-layout invariant. Link
+  targets follow a quadratic-skew distribution (dst ∝ u² over page ids) so
+  the extracted graph has power-law-ish hubs — the skew fixture the north
+  rule requires.
+* ``extract_links`` / ``extract_text`` are **vectorized Arrow pandas UDFs**
+  (no per-row Python, per input_hint): html → hrefs via a compiled regex
+  over a pandas string series; text extraction is pure and deterministic so
+  the per-url extracted text is byte-identical run-to-run (tests hash it).
+* ``build_web_graph`` canonicalizes url→url links into the engine's edge
+  table: dedup with weight = duplicate-link count, self-link removal, dense
+  vid remap by ascending url — the reference's ``add_edges_from`` pipeline
+  (graphclass.py:150-233) re-expressed over string-keyed web pages.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..graph import DiGraph
+from ..plans.partitioning import dense_rank_ids
+
+TWO63 = float(2**63)
+
+
+def _u01(*cols):
+    return (F.xxhash64(*cols).cast("double") / F.lit(TWO63) + 1.0) / 2.0
+
+
+def _url(page_id):
+    return F.concat(
+        F.lit("https://site"),
+        F.pmod(page_id, F.lit(97)).cast("string"),
+        F.lit(".example/p"),
+        page_id.cast("string"),
+    )
+
+
+def generate_pages(
+    spark: SparkSession,
+    n_pages: int = 1000,
+    links_per_page: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic synthetic pages table (FIXTURES.md §1)."""
+    pages = spark.range(n_pages).select(F.col("id").alias("pid"))
+
+    # Outlinks: quadratic skew → low page-ids become hubs; a few self-links
+    # and duplicate links appear naturally (mod collisions), which the
+    # canonicalization must handle.
+    links = (
+        spark.range(n_pages * links_per_page)
+        .select(
+            (F.col("id") / links_per_page).cast("long").alias("pid"),
+            F.floor(_u01("id", F.lit(seed)) * _u01("id", F.lit(seed)) * n_pages)
+            .cast("long")
+            .alias("dst_pid"),
+        )
+    )
+    hrefs = links.groupBy("pid").agg(
+        F.array_join(
+            F.collect_list(
+                F.concat(F.lit('<a href="'), _url(F.col("dst_pid")), F.lit('">l</a>'))
+            ),
+            "",
+        ).alias("links_html")
+    )
+
+    text = F.concat(
+        F.lit("Document body for page "),
+        F.col("pid").cast("string"),
+        F.lit(" token"),
+        F.pmod(F.xxhash64("pid", F.lit(seed), F.lit(7)), F.lit(1000)).cast("string"),
+        F.lit(" content."),
+    )
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+        (F.pmod(F.xxhash64("pid", F.lit(seed), F.lit(11)), F.lit(3)) + 1).cast("int"),
+    )
+    out = (
+        pages.join(hrefs, "pid", "left")
+        .select(
+            _url(F.col("pid")).alias("url"),
+            (F.lit("2024-01-01 00:00:00").cast("timestamp") + F.make_interval(secs=F.col("pid"))).alias("warc_ts"),
+            F.encode(
+                F.concat(
+                    F.lit("<html><head><title>p"),
+                    F.col("pid").cast("string"),
+                    F.lit("</title></head><body><p>"),
+                    text,
+                    F.lit("</p>"),
+                    F.coalesce(F.col("links_html"), F.lit("")),
+                    F.lit("</body></html>"),
+                ),
+                "UTF-8",
+            ).alias("html"),
+            text.alias("text"),
+            lang.alias("lang"),
+        )
+    )
+    return out
+
+
+_HREF_SCHEMA = "url string, href string"
+
+
+def extract_links(pages: DataFrame) -> DataFrame:
+    """(url, href) rows — vectorized Arrow extraction, one row per anchor."""
+
+    def extract(batches):
+        import re
+
+        pat = re.compile(r'<a\s+href="([^"]+)"')
+        for pdf in batches:
+            html = pdf["html"].apply(lambda b: b.decode("utf-8", "replace"))
+            rows = {"url": [], "href": []}
+            for url, doc in zip(pdf["url"], html):
+                for m in pat.findall(doc):
+                    rows["url"].append(url)
+                    rows["href"].append(m)
+            yield pd.DataFrame(rows, columns=["url", "href"])
+
+    return pages.select("url", "html").mapInPandas(extract, schema=_HREF_SCHEMA)
+
+
+def _extract_text_udf():
+    """Deterministic html→text: first <p>…</p> body. Pure function of the
+    bytes ⇒ byte-identical per url across runs/partitionings (input_hint
+    invariant; tests hash this). Built lazily: pandas_udf needs a session."""
+
+    @pandas_udf("string")
+    def extract_text_udf(html: pd.Series) -> pd.Series:
+        import re
+
+        pat = re.compile(r"<p>(.*?)</p>", re.S)
+
+        def one(b: bytes) -> str:
+            m = pat.search(b.decode("utf-8", "replace"))
+            return m.group(1) if m else ""
+
+        return html.apply(one)
+
+    return extract_text_udf
+
+
+def extract_text(pages: DataFrame) -> DataFrame:
+    return pages.select("url", _extract_text_udf()(F.col("html")).alias("text"))
+
+
+def build_web_graph(pages: DataFrame, num_partitions: int | None = None) -> DiGraph:
+    """Canonical url→url DiGraph from a pages table.
+
+    vertices(vid, label=url rank, url); edges weighted by duplicate-link
+    count; self-links dropped (digraphclass.py semantics)."""
+    spark = pages.sparkSession
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    links = extract_links(pages)
+    # Keep only links to urls that exist as pages (dangling hrefs would
+    # otherwise mint phantom vertices — a policy choice; CommonCrawl link
+    # graphs typically keep them, the reference only knows int vertices).
+    links = links.join(pages.select(F.col("url").alias("href")), "href", "left_semi")
+    dedup = (
+        links.filter(F.col("url") != F.col("href"))
+        .groupBy("url", "href")
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    urls = (
+        dedup.select(F.col("url").alias("u"))
+        .unionAll(dedup.select(F.col("href").alias("u")))
+        .distinct()
+    )
+    vertices = dense_rank_ids(urls, "u", P, out_col="vid").withColumnRenamed("u", "url")
+    vs = vertices.select(F.col("url").alias("url_key"), F.col("vid").alias("_svid"))
+    remapped = (
+        dedup.join(vs.withColumnRenamed("url_key", "url"), "url")
+        .join(
+            vertices.select(F.col("url").alias("href"), F.col("vid").alias("_dvid")),
+            "href",
+        )
+        .select(F.col("_svid").alias("src"), F.col("_dvid").alias("dst"), "weight")
+    )
+    edges = (
+        remapped.withColumn("src_block", F.pmod(F.xxhash64("src"), F.lit(P)).cast("int"))
+        .select("src_block", "src", "dst", "weight")
+        .repartition(P, "src")
+        .sortWithinPartitions("src", "dst")
+        .persist()
+    )
+    verts = (
+        vertices.select("vid", F.col("vid").alias("label"), "url")
+        .repartition(P, "vid")
+        .persist()
+    )
+    return DiGraph(edges, verts, weighted=True, num_partitions=P)

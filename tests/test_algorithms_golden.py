@@ -1,0 +1,120 @@
+"""Golden asserts from the reference suite: squares, triangle centrality,
+k-truss, diameter, BFS layers — algorithm_test.py parity."""
+
+import math
+
+import networkx as nx
+import pytest
+
+from arkouda_njit_spark import Graph, DiGraph
+from arkouda_njit_spark.operators import (
+    bfs_layers,
+    diameter,
+    jaccard_coefficients,
+    k_truss,
+    max_truss,
+    squares,
+    triangle_centrality,
+    truss_decomposition,
+)
+
+from fixtures import (
+    ALGO28_DST,
+    ALGO28_SRC,
+    CC17_DST,
+    CC17_SRC,
+    TC10_DST,
+    TC10_SRC,
+    TRUSS10_DST,
+    TRUSS10_SRC,
+    nx_graph,
+)
+
+
+def test_squares_golden(spark):
+    graph = Graph.from_edges(spark, ALGO28_SRC, ALGO28_DST)
+    assert squares(graph) == 2  # algorithm_test.py:108-116
+
+
+def test_triangle_centrality_golden(spark):
+    graph = Graph.from_edges(spark, TC10_SRC, TC10_DST)
+    # tc10 labels are already 0..9 = vids
+    got = {r["vid"]: r["centrality"] for r in triangle_centrality(graph).collect()}
+    results = [math.floor(got[v] * 10) for v in range(10)]
+    assert results == [6, 4, 4, 4, 4, 3, 3, 3, 0, 0]  # algorithm_test.py:136-152
+
+
+def _canonical_edge_values(df, value_col):
+    return [
+        r[value_col]
+        for r in df.orderBy("u", "v").collect()
+    ]
+
+
+def test_k_truss_golden(spark):
+    graph = Graph.from_edges(spark, TRUSS10_SRC, TRUSS10_DST)
+    got = _canonical_edge_values(k_truss(graph, 5), "value")
+    assert got == [4] * 20  # algorithm_test.py:297-307
+    decomp = _canonical_edge_values(truss_decomposition(graph), "truss")
+    assert decomp == [3, 3, 2, 2, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4]
+    assert max_truss(graph) == 4
+
+
+def test_k_truss_4_survivors(spark):
+    """k=4 leaves the dense 16-edge core as -1; nx-independent sanity."""
+    graph = Graph.from_edges(spark, TRUSS10_SRC, TRUSS10_DST)
+    vals = _canonical_edge_values(k_truss(graph, 4), "value")
+    assert vals.count(-1) == 16
+    assert set(vals) == {-1, 3}
+
+
+def test_diameter_golden(spark):
+    graph = Graph.from_edges(spark, CC17_SRC, CC17_DST)
+    assert diameter(graph) == 5  # reference convention, algorithm_test.py:287-295
+    assert diameter(graph, exact=True) == 6  # the 7-vertex path's true diameter
+
+
+def test_bfs_layers_undirected(spark):
+    graph = Graph.from_edges(spark, ALGO28_SRC, ALGO28_DST)
+    nxg = nx_graph(ALGO28_SRC, ALGO28_DST)
+    vid_to_label = {r["vid"]: r["label"] for r in graph.vertices.collect()}
+    for root in sorted(nxg.nodes()):
+        got = {
+            vid_to_label[r["vid"]]: r["depth"]
+            for r in bfs_layers(graph, root).collect()
+        }
+        expected = {v: -1 for v in nxg.nodes()}
+        for layer, nodes in enumerate(nx.bfs_layers(nxg, root)):
+            for v in nodes:
+                expected[v] = layer
+        assert got == expected, f"root={root}"
+
+
+def test_bfs_layers_directed(spark):
+    graph = DiGraph.from_edges(spark, ALGO28_SRC, ALGO28_DST)
+    nxg = nx_graph(ALGO28_SRC, ALGO28_DST, directed=True)
+    nxg.remove_edges_from(nx.selfloop_edges(nxg))
+    nxg.remove_nodes_from([v for v, d in nxg.degree() if d == 0])
+    vid_to_label = {r["vid"]: r["label"] for r in graph.vertices.collect()}
+    for root in [2, 5, 10, 25]:
+        got = {
+            vid_to_label[r["vid"]]: r["depth"]
+            for r in bfs_layers(graph, root).collect()
+        }
+        expected = {v: -1 for v in nxg.nodes()}
+        for layer, nodes in enumerate(nx.bfs_layers(nxg, root)):
+            for v in nodes:
+                expected[v] = layer
+        assert got == expected, f"root={root}"
+
+
+def test_jaccard_vs_networkx(spark):
+    # tc10 has no self-loops; labels == vids
+    graph = Graph.from_edges(spark, TC10_SRC, TC10_DST)
+    nxg = nx_graph(TC10_SRC, TC10_DST)
+    nxg.remove_edges_from(nx.selfloop_edges(nxg))
+    got = {(r["u"], r["v"]): r["jaccard"] for r in jaccard_coefficients(graph).collect()}
+    pairs = list(got.keys())
+    expected = {(u, v): j for u, v, j in nx.jaccard_coefficient(nxg, pairs)}
+    for p in pairs:
+        assert got[p] == pytest.approx(expected[p]), p

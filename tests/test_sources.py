@@ -1,0 +1,110 @@
+"""File readers + pages/link-extraction pipeline tests."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from arkouda_njit_spark.sources import (
+    build_web_graph,
+    extract_links,
+    extract_text,
+    generate_pages,
+    read_cluster_file,
+    read_matrix_market_file,
+    read_tsv_file,
+    write_cluster_file,
+)
+
+MTX = """%%MatrixMarket matrix coordinate pattern general
+% comment line
+5 5 4
+1 2
+2 3
+3 4
+4 5
+"""
+
+
+def test_read_mtx(spark, tmp_path):
+    p = tmp_path / "g.mtx"
+    p.write_text(MTX)
+    g = read_matrix_market_file(spark, str(p))
+    assert (g.n_vertices, g.n_edges) == (5, 4)
+
+
+def test_read_tsv_weighted(spark, tmp_path):
+    p = tmp_path / "g.tsv"
+    p.write_text("1\t2\t3.5\n2\t3\t1.0\n")
+    g = read_tsv_file(spark, str(p), weighted=True)
+    assert g.n_edges == 2
+    w = {(r["src"], r["dst"]): r["weight"] for r in g.edges.collect()}
+    labels = {r["label"]: r["vid"] for r in g.vertices.collect()}
+    assert w[(labels[1], labels[2])] == 3.5
+
+
+def test_cluster_file_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, 10), (2, 10), (3, 20)], "node long, cluster long")
+    out = str(tmp_path / "clusters")
+    write_cluster_file(df, out)
+    back = read_cluster_file(spark, out)
+    assert sorted(map(tuple, back.collect())) == [(1, 10), (2, 10), (3, 20)]
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return generate_pages(spark, n_pages=300, links_per_page=6, seed=42).persist()
+
+
+def test_pages_schema_and_determinism(spark, pages):
+    assert dict(pages.dtypes) == {
+        "url": "string",
+        "warc_ts": "timestamp",
+        "html": "binary",
+        "text": "string",
+        "lang": "string",
+    }
+    assert pages.count() == 300
+    # regenerating (different partitioning) gives byte-identical rows
+    again = generate_pages(spark, n_pages=300, links_per_page=6, seed=42).repartition(7)
+    h1 = sorted((r["url"], bytes(r["html"])) for r in pages.collect())
+    h2 = sorted((r["url"], bytes(r["html"])) for r in again.collect())
+    assert h1 == h2
+
+
+def test_extract_text_byte_identical(pages):
+    """input_hint invariant: extracted text per url is byte-identical to the
+    generator's text column (hash check per FIXTURES.md)."""
+    joined = (
+        extract_text(pages)
+        .withColumnRenamed("text", "extracted")
+        .join(pages.select("url", "text"), "url")
+    )
+    mismatches = joined.filter(F.col("extracted") != F.col("text")).count()
+    assert mismatches == 0
+    digest = hashlib.sha256()
+    for r in joined.orderBy("url").collect():
+        digest.update(r["extracted"].encode())
+    again = hashlib.sha256()
+    for r in joined.orderBy("url").collect():
+        again.update(r["text"].encode())
+    assert digest.hexdigest() == again.hexdigest()
+
+
+def test_extract_links_counts(pages):
+    links = extract_links(pages)
+    # every page emits links_per_page anchors (some duplicate/self)
+    assert links.count() == 300 * 6
+    assert links.filter(~F.col("href").startswith("https://site")).count() == 0
+
+
+def test_build_web_graph(pages):
+    g = build_web_graph(pages)
+    assert g.directed
+    assert g.n_vertices > 0 and g.n_edges > 0
+    # no self-links survive canonicalization
+    assert g.edges.filter(F.col("src") == F.col("dst")).count() == 0
+    # hubs exist (skewed in-degree)
+    indeg = g.in_degree()
+    top = indeg.agg(F.max("in_degree")).collect()[0][0]
+    assert top > 10
