@@ -1,0 +1,51 @@
+from .dedup import (
+    exact_duplicates,
+    minhash_lsh_candidates,
+    minhash_near_duplicates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_duplicates,
+)
+from .multimodal import (
+    extract_features,
+    generate_media,
+    resize_images,
+    sample_frames,
+)
+from .similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    embedding_near_duplicates,
+    with_normalized,
+)
+from .text import (
+    bpe_ish_token_count,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+
+__all__ = [
+    "exact_duplicates",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "minhash_near_duplicates",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_near_duplicates",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "embedding_near_duplicates",
+    "with_normalized",
+    "token_count",
+    "bpe_ish_token_count",
+    "language_id",
+    "quality_score",
+    "fingerprint",
+    "extract_features",
+    "resize_images",
+    "sample_frames",
+    "generate_media",
+]

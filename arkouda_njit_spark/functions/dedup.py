@@ -1,0 +1,221 @@
+"""Deduplication for web-scale corpora: exact, MinHash+LSH, SimHash,
+n-gram Jaccard. First-class components of the 100 TB pipeline.
+
+Scale design:
+  * exact dedup is one hash-aggregation (md5 groupBy) — the canonical
+    "hash-groupBy" path; no content ships through the shuffle, only digests.
+  * MinHash signatures are computed from exploded shingles with ONE
+    aggregation producing all K minima (map-side combined); LSH banding
+    turns candidate generation into an equi-join on (band, band_hash)
+    buckets, so near-dup detection never does an O(n²) compare. Bucket
+    join fan-out is bounded by band width; verification re-computes true
+    Jaccard only for candidates.
+  * MinHash uses **string-min over md5(seed:shingle)** — deterministic,
+    partition-invariant, and replayable in ANSI SQL (the DuckDB oracle).
+  * SimHash is 32 bit-count aggregations over xxhash64 bits — all JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import shingles, tokens
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(hash, n_docs, doc_ids) for every group of byte-identical texts with
+    at least 2 members."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, mh0..mh{K-1}) MinHash signature per document.
+
+    mh_i = MIN over shingles of md5('<i>:' || shingle) — the string minimum
+    of a keyed digest is a valid MinHash family member and is reproducible
+    in any engine with md5. Documents shorter than ``shingle_n`` words fall
+    back to whole-text shingles so they still get a signature."""
+    sh = shingles(text_col, shingle_n)
+    sh = F.when(F.size(sh) > 0, sh).otherwise(F.array(F.trim(F.col(text_col))))
+    exploded = df.select(F.col(id_col), F.explode(sh).alias("shingle")).distinct()
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(a, b) candidate near-duplicate pairs from banded LSH buckets.
+
+    Each signature is cut into ``bands`` bands of ``num_hashes/bands`` rows;
+    documents sharing any band hash land in the same bucket; pairs within a
+    bucket are candidates. The self-join is on the (band, hash) key — an
+    equi-join, shuffle-partitioned by bucket."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bh"))
+        )
+    buckets = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, "bk.band", "bk.bh")
+    left = buckets.select(F.col(id_col).alias("a"), "band", "bh")
+    right = buckets.select(F.col(id_col).alias("b"), "band", "bh")
+    return (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(a, b, jaccard) over distinct doc pairs sharing >=1 shingle
+    (optionally restricted to an LSH candidate pair set).
+
+    jaccard = |S(a) ∩ S(b)| / (|S(a)| + |S(b)| − |∩|) via an inverted-index
+    self-join on the shingle — never a cross join."""
+    ex = (
+        df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("sh"))
+        .distinct()
+        .persist()
+    )
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("sz"))
+    pairs = (
+        ex.select(F.col(id_col).alias("a"), "sh")
+        .join(ex.select(F.col(id_col).alias("b"), "sh"), "sh")
+        .filter(F.col("a") < F.col("b"))
+    )
+    if candidates is not None:
+        pairs = pairs.join(candidates, ["a", "b"], "left_semi")
+    inter = pairs.groupBy("a", "b").agg(F.count("*").alias("common"))
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sa")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sb")), "b")
+        .select(
+            "a",
+            "b",
+            (F.col("common") / (F.col("sa") + F.col("sb") - F.col("common"))).alias("jaccard"),
+        )
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    ex.unpersist()
+    return out
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: shingle → sign → band → bucket-join →
+    verify true Jaccard ≥ threshold. Returns (a, b, jaccard)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    cands = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
+    return ngram_jaccard_pairs(
+        df, id_col, text_col, shingle_n, threshold=threshold, candidates=cands
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    out: str = "simhash",
+) -> DataFrame:
+    """Per-document SimHash over token hashes: bit b of the output is the
+    sign of Σ_tokens (±1 per token's xxhash64 bit b). All JVM bit ops."""
+    ex = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok")).select(
+        F.col(id_col), F.xxhash64("tok").alias("h")
+    )
+    sums = ex.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"s{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0))
+    return sums.select(F.col(id_col), sig.alias(out))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    block_bits: int = 8,
+) -> DataFrame:
+    """(a, b, hamming) pairs with Hamming distance <= max_hamming.
+
+    Candidate generation blocks on byte-slices of the signature (a pair
+    within distance d must agree exactly on >=1 of (d+1) blocks — the
+    classic SimHash pigeonhole trick), so the self-join is an equi-join on
+    (block_idx, block_value), never O(n²)."""
+    n_blocks = max_hamming + 1
+    sigs = simhash(df, id_col, text_col, bits)
+    width = bits // n_blocks
+    blocks = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bv"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.blk", "bk.bv")
+    left = blocks.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "blk", "bv")
+    right = blocks.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "blk", "bv")
+    pairs = (
+        left.join(right, ["blk", "bv"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the brief:
+  * ``cosine_topk`` — brute-force exact top-k: broadcast the (small) query
+    set against the corpus; dot products via ``zip_with`` + ``aggregate``
+    (JVM higher-order functions, no Python); per-query top-k via struct-max
+    aggregation when k is small or a window otherwise.
+  * ``ann_lsh_topk`` — the scale path: random-hyperplane LSH buckets
+    (deterministic hash-derived planes), candidates restricted to the
+    query's bucket (+ optional multi-probe), exact rerank within bucket.
+    At 10^12 rows the bucket join replaces the full scan.
+  * ``embedding_near_duplicates`` — near-dup pairs by cosine >= threshold,
+    LSH-bucketed self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
+    )
+
+
+def with_normalized(df: DataFrame, vec_col: str = "embedding", out: str = "nvec") -> DataFrame:
+    n = _norm(F.col(vec_col))
+    return df.withColumn(
+        out,
+        F.when(
+            n > 0, F.transform(F.col(vec_col), lambda v: v.cast("double") / n)
+        ).otherwise(F.transform(F.col(vec_col), lambda v: v.cast("double"))),
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """(query_id, vec_id, cosine, rank) exact top-k by cosine similarity.
+
+    ``queries`` must be small (it is broadcast); ties broken by vec_id
+    ascending for determinism."""
+    c = with_normalized(corpus, vec_col).select(F.col(id_col), F.col("nvec").alias("cv"))
+    q = with_normalized(queries, vec_col).select(
+        F.col(query_id_col), F.col("nvec").alias("qv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        query_id_col, id_col, _dot(F.col("cv"), F.col("qv")).alias("cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def _hyperplane_bucket(vec, dim: int, n_planes: int, seed: int):
+    """LSH bucket id: sign bits of dot(vec, plane_i) with plane components
+    derived from xxhash64(i, j, seed) — deterministic, no stored planes."""
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        comp = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                F.xxhash64(j, F.lit(i), F.lit(seed)).cast("double") / F.lit(float(2**63))
+            ),
+        )
+        d = _dot(vec, comp)
+        bucket = bucket + F.when(d > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: OR-amplified hyperplane LSH — ``n_tables``
+    independent hash tables (2^n_planes buckets each); a corpus vector is a
+    candidate if it shares the query's bucket in ANY table; exact cosine
+    rerank over the deduplicated candidate set. Recall rises with
+    ``n_tables``, probe cost with both knobs. The join key is
+    (table, bucket): an equi-join that shuffles candidates only — at
+    10^12 rows the full-scan brute force is replaced by ~n·(tables/2^planes)
+    comparisons."""
+
+    def bucketed(df, idc, vec_alias):
+        nv = with_normalized(df, vec_col)
+        table_structs = [
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _hyperplane_bucket(F.col("nvec"), dim, n_planes, seed + 1000 * t).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(n_tables)
+        ]
+        return nv.select(
+            F.col(idc),
+            F.col("nvec").alias(vec_alias),
+            F.explode(F.array(*table_structs)).alias("bk"),
+        ).select(idc, vec_alias, "bk.tbl", "bk.bucket")
+
+    c = bucketed(corpus, id_col, "cv")
+    q = bucketed(queries, query_id_col, "qv")
+    cands = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
+        .select(query_id_col, id_col, "cv", "qv")
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cands.select(
+        query_id_col, id_col, _dot(F.col("cv"), F.col("qv")).alias("cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b, cosine) pairs with cosine >= threshold, bucketed self-join
+    (embedding-cosine near-dup path of the dedup suite)."""
+    c = with_normalized(corpus, vec_col).select(
+        F.col(id_col),
+        F.col("nvec"),
+        _hyperplane_bucket(F.col("nvec"), dim, n_planes, seed).alias("bucket"),
+    )
+    left = c.select(F.col(id_col).alias("a"), F.col("nvec").alias("va"), "bucket")
+    right = c.select(F.col(id_col).alias("b"), F.col("nvec").alias("vb"), "bucket")
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", _dot(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )

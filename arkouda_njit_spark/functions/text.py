@@ -1,0 +1,104 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Not present in the reference (its string ops are suffix arrays/LCS in the
+dev tree, out of scope — SURVEY.md §2.5); these are the operations a 100 TB
+web-text corpus needs before training: token counting, quality scoring,
+language ID, document fingerprinting. Everything is built-in column
+expressions (JVM-side, whole-stage codegen) — no Python in the hot path.
+
+All functions take/return DataFrames and are engine-agnostic enough that a
+DuckDB oracle can replay them (driver correctness contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_WS = r"\s+"
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization of trimmed text (empty text → empty array)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(F.trim(c)) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(c), _WS)
+    )
+
+
+def token_count(df: DataFrame, col: str = "text", out: str = "n_tokens") -> DataFrame:
+    return df.withColumn(out, F.size(tokens(col)))
+
+
+def bpe_ish_token_count(df: DataFrame, col: str = "text", out: str = "n_bpe_tokens") -> DataFrame:
+    """Sub-word-ish count: split on whitespace AND punctuation boundaries
+    (a cheap regex stand-in for a BPE tokenizer's piece count)."""
+    c = F.col(col)
+    pieces = F.split(F.trim(c), r"\s+|(?=[^\w\s])|(?<=[^\w\s])")
+    return df.withColumn(out, F.size(F.filter(pieces, lambda p: F.length(p) > 0)))
+
+
+# small public stopword lists for the n-gram language heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "for", "with", "that", "this"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pour", "dans", "une", "que", "des"],
+}
+
+
+def language_id(df: DataFrame, col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Stopword-hit language heuristic: the language whose stopword list
+    intersects the token set most wins; 'und' (undetermined) on zero hits.
+    Deterministic tie-break by language code order."""
+    toks = F.array_distinct(F.transform(tokens(col), lambda t: F.lower(t)))
+    hits = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in sorted(STOPWORDS.items())
+    }
+    best = F.greatest(*hits.values())
+    pred = F.lit("und")
+    for lang in sorted(STOPWORDS, reverse=True):
+        pred = F.when(hits[lang] == best, F.lit(lang)).otherwise(pred)
+    return df.withColumn(out, F.when(best > 0, pred).otherwise(F.lit("und")))
+
+
+def quality_score(df: DataFrame, col: str = "text", out: str = "quality") -> DataFrame:
+    """Heuristic quality in [0,1]: length band, alpha ratio, punctuation
+    ratio, mean word length band — the standard cheap pre-filters a web
+    corpus applies before dedup (Gopher/C4-style rules, public)."""
+    c = F.col(col)
+    n_chars = F.length(c)
+    n_tokens = F.size(tokens(col))
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", ""))
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    mean_word = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        F.when((n_chars >= 20) & (n_chars <= 100000), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(alpha_ratio >= 0.6, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((mean_word >= 3) & (mean_word <= 12), F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return df.withColumn(out, score)
+
+
+def shingles(col: str | Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings (empty for docs shorter than n)."""
+    t = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(-1)))
+    return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(t, i + 1, n), " "))
+    )
+
+
+def fingerprint(
+    df: DataFrame, col: str = "text", out: str = "fingerprint", n: int = 3
+) -> DataFrame:
+    """Document fingerprint: minimum md5 over word n-gram shingles (a
+    winnowing-style rolling-hash selector; md5 keeps it engine-agnostic for
+    the DuckDB oracle). Falls back to md5 of the trimmed text for short
+    docs."""
+    sh = shingles(col, n)
+    min_sh = F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    return df.withColumn(out, F.coalesce(min_sh, F.md5(F.trim(F.col(col)))))

@@ -1,0 +1,163 @@
+"""PropGraph: directed property graph with typed vertex/edge attributes.
+
+Reference: /root/reference/arachne/client/arachne/propgraphclass.py —
+``load_edge_attributes`` (385-498: dedup on (src,dst), drop self-loops,
+build DiGraph, attach typed columns), ``load_node_attributes`` (190-288),
+``add_node_labels`` (99-188), getters (500-558), ``filter_edges`` (560-597)
+and ``subgraph_view`` (599-649). Server-side sparse attribute storage
+(BuildPropertyGraph.chpl:114-235) maps to plain nullable columns.
+
+Spark-first: attributes are just columns on two DataFrames keyed by the
+original labels; "Categorical" encoding is unnecessary (Parquet dictionary
+encoding does it at the storage layer). Filters are Spark Column
+predicates or callables DataFrame→Column — the vectorized replacement for
+the reference's boolean-mask callables (input_hint: no per-row Python).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .graph import DiGraph
+
+
+class PropGraph(DiGraph):
+    """Directed property graph (reference: PropGraph inherits DiGraph)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.edge_attributes: DataFrame | None = None
+        self.node_attributes: DataFrame | None = None
+        self._relationship_columns: list[str] = []
+        self._label_columns: list[str] = []
+
+    # -- loading -------------------------------------------------------------
+    @classmethod
+    def from_edge_attributes(
+        cls,
+        df: DataFrame,
+        source_column: str,
+        destination_column: str,
+        relationship_columns: Sequence[str] | None = None,
+        num_partitions: int | None = None,
+    ) -> "PropGraph":
+        """propgraphclass.py:385-498: dedup on (src,dst) keeping the first
+        row's attributes, drop self-loops, build the DiGraph."""
+        spark = df.sparkSession
+        named = df.withColumnRenamed(source_column, "src").withColumnRenamed(
+            destination_column, "dst"
+        )
+        named = named.filter(F.col("src") != F.col("dst"))
+        # keep one attribute row per (src,dst) — GroupBy.permutation[segments]
+        # "first of group" semantics (propgraphclass.py:425-428)
+        attr_cols = [c for c in named.columns if c not in ("src", "dst")]
+        dedup = named.groupBy("src", "dst").agg(
+            *[F.first(c).alias(c) for c in attr_cols]
+        )
+        base = DiGraph.from_edges(
+            spark,
+            dedup.select(
+                F.col("src").cast("long"), F.col("dst").cast("long"), F.lit(1.0).alias("weight")
+            ),
+            num_partitions=num_partitions,
+        )
+        g = cls(
+            base.edges,
+            base.vertices,
+            weighted=False,
+            num_partitions=base.num_partitions,
+        )
+        g.edge_attributes = dedup.persist()
+        g._relationship_columns = list(relationship_columns or [])
+        return g
+
+    def load_node_attributes(
+        self,
+        df: DataFrame,
+        node_column: str,
+        label_columns: Sequence[str] | None = None,
+    ) -> None:
+        """propgraphclass.py:190-288 (dedup per node, first row wins)."""
+        named = df.withColumnRenamed(node_column, "nodes")
+        attr_cols = [c for c in named.columns if c != "nodes"]
+        self.node_attributes = named.groupBy("nodes").agg(
+            *[F.first(c).alias(c) for c in attr_cols]
+        ).persist()
+        self._label_columns = list(label_columns or [])
+
+    # -- getters (propgraphclass.py:500-558) ----------------------------------
+    def get_edge_attributes(self) -> DataFrame:
+        return self.edge_attributes
+
+    def get_node_attributes(self) -> DataFrame:
+        return self.node_attributes
+
+    def get_edge_relationships(self) -> DataFrame:
+        return self.edge_attributes.select("src", "dst", *self._relationship_columns)
+
+    def get_node_labels(self) -> DataFrame:
+        return self.node_attributes.select("nodes", *self._label_columns)
+
+    # -- queries ---------------------------------------------------------------
+    def filter_edges(
+        self, node_types: Mapping[str, list], edge_types: Mapping[str, list]
+    ) -> DataFrame:
+        """propgraphclass.py:560-597: edges whose attributes match
+        ``edge_types`` AND whose both endpoints match ``node_types``.
+        Values may be a single value or a list (isin)."""
+
+        def pred(mapping):
+            c = F.lit(True)
+            for col, vals in mapping.items():
+                vals = vals if isinstance(vals, (list, tuple, set)) else [vals]
+                c = c & F.col(col).isin(list(vals))
+            return c
+
+        nodes = self.node_attributes.filter(pred(node_types)).select("nodes")
+        edges = self.edge_attributes.filter(pred(edge_types)).select("src", "dst")
+        return (
+            edges.join(nodes.withColumnRenamed("nodes", "src"), "src", "left_semi")
+            .join(nodes.withColumnRenamed("nodes", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+        )
+
+    def subgraph_view(
+        self,
+        filter_node: Column | Callable[[DataFrame], Column] | None = None,
+        filter_edge: Column | Callable[[DataFrame], Column] | None = None,
+    ) -> DiGraph:
+        """propgraphclass.py:599-649. Note the reference's committed quirk:
+        with an edge filter the kept edges need BOTH endpoints in the
+        filtered node set; with only a node filter, EITHER endpoint
+        suffices (in1d OR, line 643-644). Replicated as-is."""
+
+        def apply(df, flt):
+            if flt is None:
+                return df
+            col = flt(df) if callable(flt) else flt
+            return df.filter(col)
+
+        nodes = apply(self.node_attributes, filter_node).select("nodes")
+        edges = apply(self.edge_attributes, filter_edge).select("src", "dst")
+        ns = nodes.withColumnRenamed("nodes", "src")
+        nd = nodes.withColumnRenamed("nodes", "dst")
+        if filter_edge is not None:
+            kept = edges.join(ns, "src", "left_semi").join(nd, "dst", "left_semi")
+        else:
+            # (select after each semi-join: joining on "dst" reorders the
+            # columns, and unionAll is positional)
+            in_src = edges.join(ns, "src", "left_semi").select("src", "dst")
+            in_dst = edges.join(nd, "dst", "left_semi").select("src", "dst")
+            kept = in_src.unionAll(in_dst).distinct()
+        return DiGraph.from_edges(
+            self.spark,
+            kept.select(
+                F.col("src").cast("long"),
+                F.col("dst").cast("long"),
+                F.lit(1.0).alias("weight"),
+            ),
+            num_partitions=self.num_partitions,
+        )

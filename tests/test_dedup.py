@@ -1,0 +1,105 @@
+"""Dedup suite: exact, MinHash+LSH, SimHash, n-gram Jaccard — with
+pure-python oracles on small corpora."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from arkouda_njit_spark.functions import (
+    exact_duplicates,
+    minhash_lsh_candidates,
+    minhash_near_duplicates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_duplicates,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river shore"),  # near-dup of 0
+    (2, "completely unrelated text about spark dataframes and shuffles"),
+    (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    (4, "another unrelated document mentioning parquet and arrow batches"),
+    (5, "the quick brown fox jumps over the lazy dog near the river bank today"),  # near-dup
+]
+
+
+def _shingles(text, n=3):
+    t = text.split()
+    return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)} if len(t) >= n else {text.strip()}
+
+
+def _jaccard(a, b):
+    sa, sb = _shingles(a), _shingles(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").persist()
+
+
+def test_exact_duplicates(corpus):
+    groups = exact_duplicates(corpus).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [0, 3]
+    assert groups[0]["n_docs"] == 2
+
+
+def test_ngram_jaccard_matches_python(corpus):
+    got = {(r["a"], r["b"]): r["jaccard"] for r in ngram_jaccard_pairs(corpus).collect()}
+    texts = dict(DOCS)
+    for (a, ta), (b, tb) in itertools.combinations(DOCS, 2):
+        expected = _jaccard(ta, tb)
+        if expected > 0:
+            assert got[(a, b)] == pytest.approx(expected), (a, b)
+        else:
+            assert (a, b) not in got
+
+
+def test_minhash_lsh_finds_near_dups(corpus):
+    pairs = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in minhash_near_duplicates(
+            corpus, num_hashes=16, bands=8, threshold=0.5
+        ).collect()
+    }
+    # exact dup must always be found, and jaccard verified == 1.0
+    assert pairs[(0, 3)] == pytest.approx(1.0)
+    # high-overlap near dups
+    assert (0, 5) in pairs and pairs[(0, 5)] > 0.5
+    # unrelated docs never pass verification
+    assert all(a not in (2, 4) and b not in (2, 4) for a, b in pairs)
+
+
+def test_minhash_signature_determinism(corpus, spark):
+    s1 = sorted(map(tuple, minhash_signatures(corpus, num_hashes=4).collect()))
+    s2 = sorted(map(tuple, minhash_signatures(corpus.repartition(5), num_hashes=4).collect()))
+    assert s1 == s2
+
+
+def test_minhash_identical_signatures_for_exact_dups(corpus):
+    sigs = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(16)) for r in minhash_signatures(corpus).collect()}
+    assert sigs[0] == sigs[3]
+    # candidates include the exact pair
+    cands = {
+        (r["a"], r["b"])
+        for r in minhash_lsh_candidates(
+            minhash_signatures(corpus), num_hashes=16, bands=4
+        ).collect()
+    }
+    assert (0, 3) in cands
+
+
+def test_simhash_near_duplicates(corpus):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(corpus).collect()}
+    assert sigs[0] == sigs[3]  # identical text -> identical simhash
+    pairs = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in simhash_near_duplicates(corpus, max_hamming=4).collect()
+    }
+    assert pairs[(0, 3)] == 0
+    assert (0, 1) in pairs  # one-word swap stays within hamming 4
+    assert (2, 4) not in pairs
