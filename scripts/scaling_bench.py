@@ -1,0 +1,100 @@
+"""Two-parallelism scaling benchmark (BASELINE.md in-sandbox protocol).
+
+Runs the identical PageRank job on the identical input at local[N] and
+local[4N] in separate JVMs, reports throughput at both and
+
+    scaling_efficiency = (throughput_4N / throughput_N) / 4
+
+plus per-partition task-balance evidence. Writes BENCH_SCALING.json and a
+markdown section for BASELINE.md.
+
+Usage: python scripts/scaling_bench.py [N]   (default N=8 -> compares 8 vs 32)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+PR_ITERS = 10
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from arkouda_njit_spark.session import get_spark
+from arkouda_njit_spark import Graph
+from arkouda_njit_spark.operators.pagerank import pagerank
+from arkouda_njit_spark.plans.iterate import FixpointLoop
+
+cpus = int(sys.argv[1])
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+li = spark.read.parquet(%(sf)r + "/lineitem.parquet")
+g = Graph.from_edges(spark, li.select(
+    F.col("l_partkey").alias("src"),
+    (F.lit(100000) + F.col("l_suppkey")).alias("dst"),
+    F.lit(1.0).alias("weight")))
+edges = g.edges.count()
+# warmup iteration excluded from timing (JIT/codegen)
+pagerank(g, tol=1e-30, max_iterations=1)
+t0 = time.time()
+pr = pagerank(g, tol=1e-30, max_iterations=%(iters)d,
+              collect_partition_metrics=True)
+wall = time.time() - t0
+pr.count()
+# partition balance from the final state
+rows = pr.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+balance = {str(r["pid"]): r["count"] for r in rows}
+print(json.dumps({"cpus": cpus, "wall_sec": wall, "edges": edges,
+                  "edges_per_sec": edges * %(iters)d / wall,
+                  "iters_per_hour": %(iters)d / wall * 3600,
+                  "partition_rows": balance}))
+spark.stop()
+"""
+
+
+def run_at(cpus: int) -> dict:
+    code = WORKER % {"repo": REPO, "sf": SF_DIR, "iters": PR_ITERS}
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cpus)],
+        capture_output=True, text=True, timeout=1800, cwd=REPO,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    lo = run_at(n)
+    hi = run_at(4 * n)
+    eff = (hi["edges_per_sec"] / lo["edges_per_sec"]) / 4
+    rows = list(hi["partition_rows"].values())
+    balance_cv = statistics.pstdev(rows) / statistics.mean(rows) if rows else 0.0
+    result = {
+        "job": f"pagerank_{PR_ITERS}iters",
+        "sf_dir": SF_DIR,
+        "N": n,
+        "throughput_N_edges_per_sec": round(lo["edges_per_sec"], 1),
+        "throughput_4N_edges_per_sec": round(hi["edges_per_sec"], 1),
+        "iters_per_hour_N": round(lo["iters_per_hour"], 1),
+        "iters_per_hour_4N": round(hi["iters_per_hour"], 1),
+        "wall_N_sec": round(lo["wall_sec"], 2),
+        "wall_4N_sec": round(hi["wall_sec"], 2),
+        "scaling_efficiency": round(eff, 3),
+        "partition_row_balance_cv_4N": round(balance_cv, 4),
+    }
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
