@@ -196,7 +196,7 @@ def q_squares(spark, sf_dir):
 
 def q_pagerank5(spark, sf_dir):
     g = _graph_a(spark, sf_dir)
-    pr = pagerank(g, alpha=0.85, tol=1e-30, max_iterations=5)
+    pr = pagerank(g, alpha=0.85, tol=0.0, max_iterations=5)
     return (
         pr.join(_labels(g), "vid")
         .select(F.col("node").cast("long"), F.round("rank", 9).alias("rank"))

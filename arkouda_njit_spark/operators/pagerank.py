@@ -57,21 +57,26 @@ def pagerank(
     )
     trans.count()  # materialize once; reused every iteration
 
-    # Dangling vertices (no out-edges).
+    # Dangling vertices (no out-edges). Undirected graphs never have any
+    # (every vertex has an incident symmetric edge), so the per-iteration
+    # dangling-mass aggregate is skipped entirely when the set is empty.
     dangling = (
         graph.vertices.join(outw, graph.vertices.vid == outw.src, "left_anti")
         .select("vid")
         .persist()
     )
+    has_dangling = not dangling.isEmpty()
 
     init = graph.vertices.select("vid", F.lit(1.0 / n).alias("rank"))
 
     def step(state: DataFrame, i: int) -> DataFrame:
         # ONE scalar aggregate for the dangling mass, folded back in as a
         # literal (broadcast) — never a driver loop over vertices.
-        dangle_mass = (
-            state.join(dangling, "vid", "left_semi").agg(F.sum("rank")).collect()[0][0]
-        ) or 0.0
+        dangle_mass = 0.0
+        if has_dangling:
+            dangle_mass = (
+                state.join(dangling, "vid", "left_semi").agg(F.sum("rank")).collect()[0][0]
+            ) or 0.0
         contribs = (
             trans.join(state.withColumnRenamed("vid", "src"), "src")
             .select(F.col("dst").alias("vid"), (F.col("p") * F.col("rank")).alias("c"))
@@ -89,10 +94,12 @@ def pagerank(
             .repartition(P, "vid")
         )
 
+    # tol <= 0 selects fixed-iteration mode: no per-iteration convergence
+    # job (the bench/oracle path runs an exact number of power iterations).
     loop = FixpointLoop(
         "pagerank",
         step,
-        convergence=l1_diff("vid", "rank"),
+        convergence=l1_diff("vid", "rank") if tol > 0 else None,
         max_iterations=max_iterations,
         tol=n * tol,
         checkpoint_dir=checkpoint_dir,

@@ -90,13 +90,18 @@ class FixpointLoop:
         self,
         name: str,
         step: Callable[[DataFrame, int], DataFrame],
-        convergence: Callable[[DataFrame, DataFrame], float],
+        convergence: Callable[[DataFrame, DataFrame], float] | None,
         max_iterations: int = 200,
         tol: float = 0.0,
         checkpoint_dir: str | None = None,
         epoch_interval: int = 5,
         collect_partition_metrics: bool = False,
+        count_rows: bool = False,
     ):
+        """``convergence=None`` runs exactly ``max_iterations`` steps with no
+        per-iteration convergence job (fixed-iteration mode — e.g. unrolled
+        PageRank); ``count_rows`` adds a per-iteration state row count to the
+        metrics (one extra tiny job)."""
         self.name = name
         self.step = step
         self.convergence = convergence
@@ -105,6 +110,7 @@ class FixpointLoop:
         self.checkpoint_dir = checkpoint_dir
         self.epoch_interval = epoch_interval
         self.collect_partition_metrics = collect_partition_metrics
+        self.count_rows = count_rows
         self.metrics: list[IterationMetrics] = []
         self.iterations_run = 0
 
@@ -128,6 +134,20 @@ class FixpointLoop:
         with open(os.path.join(self.checkpoint_dir, "metrics.json"), "w") as f:
             json.dump([m.to_dict() for m in self.metrics], f)
 
+    def metrics_to_csv(self, path: str) -> None:
+        """Per-iteration (and per-partition, when collected) metrics as CSV —
+        the reference's comm-diagnostics sink (Utils.chpl:747-799)."""
+        with open(path, "w") as f:
+            f.write("iteration,wall_sec,changed,rows,partition,partition_rows\n")
+            for m in self.metrics:
+                if m.partition_rows:
+                    for pid, rows in sorted(m.partition_rows.items()):
+                        f.write(
+                            f"{m.iteration},{m.wall_sec:.4f},{m.changed},{m.rows},{pid},{rows}\n"
+                        )
+                else:
+                    f.write(f"{m.iteration},{m.wall_sec:.4f},{m.changed},{m.rows},,\n")
+
     # -- main loop ---------------------------------------------------------
     def run(self, state: DataFrame, resume: bool = True) -> DataFrame:
         spark = state.sparkSession
@@ -144,10 +164,15 @@ class FixpointLoop:
             # Eager localCheckpoint = the single action that materializes
             # this iteration and truncates lineage.
             nxt = self.step(state, i).localCheckpoint(eager=True)
-            changed = self.convergence(state, nxt)
+            changed = self.convergence(state, nxt) if self.convergence else -1.0
             wall = time.time() - t0
 
-            m = IterationMetrics(iteration=i, wall_sec=wall, changed=changed, rows=nxt.count())
+            m = IterationMetrics(
+                iteration=i,
+                wall_sec=wall,
+                changed=changed,
+                rows=nxt.count() if self.count_rows else -1,
+            )
             if self.collect_partition_metrics:
                 rows = nxt.groupBy(F.spark_partition_id().alias("pid")).count().collect()
                 m.partition_rows = {r["pid"]: r["count"] for r in rows}
@@ -160,7 +185,7 @@ class FixpointLoop:
             if self.checkpoint_dir and (i % self.epoch_interval == 0):
                 self._write_epoch(state, i)
 
-            if changed <= self.tol:
+            if self.convergence and changed <= self.tol:
                 break
 
         if self.checkpoint_dir:

@@ -5,6 +5,7 @@ from .files import (
     write_cluster_file,
 )
 from .generators import (
+    barabasi_albert_graph,
     complete_graph,
     gnp_random_graph,
     karate_club_graph,
@@ -20,6 +21,7 @@ __all__ = [
     "read_tsv_file",
     "read_cluster_file",
     "write_cluster_file",
+    "barabasi_albert_graph",
     "complete_graph",
     "path_graph",
     "karate_club_graph",

@@ -147,6 +147,28 @@ def rmat_graph(
     return out
 
 
+def barabasi_albert_graph(spark: SparkSession, n: int, m: int, seed: int = 42) -> DataFrame:
+    """Preferential attachment (generators.py:358-423, server kernel
+    BuildGraphMsg.chpl:440-500). Inherently sequential (each new vertex
+    samples from the degree distribution so far), so — like the reference,
+    which runs it as a serial server loop — the attachment sequence is
+    computed on the driver and parallelized only as the output DataFrame.
+    Intended for test-scale graphs; use rmat_graph for scale."""
+    import random
+
+    rng = random.Random(seed)
+    targets = list(range(m))
+    repeated: list[int] = []
+    edges: list[tuple[int, int]] = []
+    for v in range(m, n):
+        for t in set(targets):
+            edges.append((v, t))
+        repeated.extend(targets)
+        repeated.extend([v] * m)
+        targets = [rng.choice(repeated) for _ in range(m)]
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
 def watts_strogatz_graph(
     spark: SparkSession, n: int, k: int, p: float, seed: int = 42
 ) -> DataFrame:

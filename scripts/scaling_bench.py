@@ -43,9 +43,9 @@ g = Graph.from_edges(spark, li.select(
     F.lit(1.0).alias("weight")))
 edges = g.edges.count()
 # warmup iteration excluded from timing (JIT/codegen)
-pagerank(g, tol=1e-30, max_iterations=1)
+pagerank(g, tol=0.0, max_iterations=1)
 t0 = time.time()
-pr = pagerank(g, tol=1e-30, max_iterations=%(iters)d,
+pr = pagerank(g, tol=0.0, max_iterations=%(iters)d,
               collect_partition_metrics=True)
 wall = time.time() - t0
 pr.count()

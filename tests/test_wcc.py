@@ -1,0 +1,90 @@
+"""Well-connected components: property-based oracle (every emitted cluster
+must satisfy the criterion; checkable independently with networkx) plus the
+reference's committed fixture files (read from the read-only reference
+data dir at runtime; skipped if absent)."""
+
+import math
+import os
+
+import networkx as nx
+import pytest
+from pyspark.sql import functions as F
+
+from arkouda_njit_spark.operators.wcc import well_connected_components
+from arkouda_njit_spark.sources import read_cluster_file, read_tsv_file
+
+WCC_DATA = "/root/reference/arachne/data/wcc"
+
+
+def _check_well_connected(edges_rows, assignment, criterion="log10"):
+    """Every output cluster: connected AND min-cut > floor(log10(n))."""
+    g = nx.Graph()
+    g.add_edges_from(edges_rows)
+    clusters = {}
+    for v, c in assignment:
+        clusters.setdefault(c, set()).add(v)
+    for c, vs in clusters.items():
+        sub = g.subgraph(vs)
+        assert nx.is_connected(sub), f"cluster {c} not connected"
+        n = sub.number_of_nodes()
+        if n > 2:
+            cut, _ = nx.stoer_wagner(sub)
+            assert cut > math.floor(math.log10(n)), f"cluster {c} cut {cut} too small"
+
+
+def test_wcc_synthetic(spark):
+    # two dense 15-cliques joined by a single bridge edge, labeled as ONE
+    # input cluster: WCC must split them apart (bridge cut=1 <= log10(30)=1)
+    edges = []
+    for base in (0, 100):
+        for i in range(15):
+            for j in range(i + 1, 15):
+                edges.append((base + i, base + j))
+    edges.append((0, 100))  # bridge
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    cdf = spark.createDataFrame(
+        [(v, 7) for v in list(range(15)) + list(range(100, 115))],
+        "node long, cluster long",
+    )
+    got = well_connected_components(edf, cdf)
+    assignment = [(r["vertex"], r["cluster"]) for r in got.collect()]
+    clusters = {}
+    for v, c in assignment:
+        clusters.setdefault(c, set()).add(v)
+    assert sorted(map(sorted, clusters.values())) == [
+        sorted(range(15)),
+        sorted(range(100, 115)),
+    ]
+    _check_well_connected(edges, assignment)
+
+
+def test_wcc_prefilter_drops_small_clusters(spark):
+    edges = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    cdf = spark.createDataFrame([(v, 1) for v in range(5)], "node long, cluster long")
+    got = well_connected_components(edf, cdf, pre_filter_min_size=10)
+    assert got.count() == 0  # cluster size 5 <= 10 dropped pre-check
+    got2 = well_connected_components(edf, cdf, pre_filter_min_size=2)
+    assert got2.count() == 5  # K5 is well-connected (cut 4 > log10(5)=0)
+
+
+@pytest.mark.skipif(not os.path.isdir(WCC_DATA), reason="reference data absent")
+def test_wcc_reference_fixture(spark):
+    edges = read_tsv_file(spark, f"{WCC_DATA}/test_network_simple_1.tsv", only_edges=True)
+    clustering = read_cluster_file(spark, f"{WCC_DATA}/test_clustering_simple_1.tsv")
+    got = well_connected_components(edges.select("src", "dst"), clustering)
+    edge_rows = [(r["src"], r["dst"]) for r in edges.collect()]
+    assignment = [(r["vertex"], r["cluster"]) for r in got.collect()]
+    # independent property oracle: every emitted cluster is well-connected
+    _check_well_connected(edge_rows, assignment)
+
+
+@pytest.mark.skipif(not os.path.isdir(WCC_DATA), reason="reference data absent")
+def test_wcc_reference_fixture_full(spark):
+    edges = read_tsv_file(spark, f"{WCC_DATA}/test_network.tsv", only_edges=True)
+    clustering = read_cluster_file(spark, f"{WCC_DATA}/test_clustering.tsv")
+    got = well_connected_components(edges.select("src", "dst"), clustering).persist()
+    assert got.count() > 0
+    edge_rows = [(r["src"], r["dst"]) for r in edges.collect()]
+    assignment = [(r["vertex"], r["cluster"]) for r in got.collect()]
+    _check_well_connected(edge_rows, assignment)
