@@ -426,6 +426,24 @@ def q_web_pagerank(spark, sf_dir):
     )
 
 
+def q_mono_3cycle(spark, sf_dir):
+    """Directed 3-cycle monomorphism count on a directed mod graph —
+    subgraph_search with a C3 pattern; oracle = 3-way self-join."""
+    from arkouda_njit_spark.operators import subgraph_search
+
+    li = _read(spark, sf_dir, "lineitem")
+    dg = DiGraph.from_edges(
+        spark,
+        li.select(
+            F.pmod(F.col("l_orderkey"), F.lit(211)).alias("src"),
+            F.pmod(F.col("l_partkey") * 7 + F.col("l_suppkey"), F.lit(211)).alias("dst"),
+            F.lit(1.0).alias("weight"),
+        ).filter(F.col("src") != F.col("dst")),
+    )
+    emb = subgraph_search(dg, [(0, 1), (1, 2), (2, 0)], induced=False)
+    return spark.createDataFrame([(emb.count(),)], "n_embeddings long")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "build_edges": q_build_edges,
@@ -452,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "events_top_users": q_events_top_users,
+        "mono_3cycle": q_mono_3cycle,
         # no-oracle (rows-only) entries:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash": q_simhash,
@@ -781,6 +800,16 @@ SELECT user_id,
        strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
        COUNT(*) AS n_events
 FROM marked GROUP BY user_id, sid
+""",
+        "mono_3cycle": """
+WITH de AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey % 211 AS s, (l_partkey * 7 + l_suppkey) % 211 AS d
+  FROM lineitem WHERE l_orderkey % 211 <> (l_partkey * 7 + l_suppkey) % 211
+)
+SELECT COUNT(*) AS n_embeddings
+FROM de e1 JOIN de e2 ON e1.d = e2.s
+           JOIN de e3 ON e2.d = e3.s AND e3.d = e1.s
+WHERE e1.s <> e2.d AND e1.s <> e1.d AND e2.s <> e2.d
 """,
         "events_top_users": """
 WITH totals AS (

@@ -7,11 +7,17 @@ from .label_propagation import label_propagation
 from .pagerank import pagerank
 from .squares import squares
 from .triangle_centrality import triangle_centrality
+from .subgraph_search import (
+    subgraph_isomorphism,
+    subgraph_monomorphism,
+    subgraph_search,
+)
 from .triangles import (
     triangle_count,
     triangle_total_reference,
     triangles_per_vertex,
 )
+from .wcc import well_connected_components
 
 __all__ = [
     "bfs_layers",
@@ -24,9 +30,13 @@ __all__ = [
     "max_truss",
     "pagerank",
     "squares",
+    "subgraph_isomorphism",
+    "subgraph_monomorphism",
+    "subgraph_search",
     "triangle_centrality",
     "triangle_count",
     "triangle_total_reference",
     "triangles_per_vertex",
     "truss_decomposition",
+    "well_connected_components",
 ]

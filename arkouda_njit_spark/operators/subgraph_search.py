@@ -1,0 +1,246 @@
+"""Subgraph isomorphism / monomorphism over (property) digraphs.
+
+Reference: /root/reference/arachne/server/SubgraphSearch.chpl — parallel
+VF2 state search (``runSearch`` 1006-1105, feasibility rules 1307-1475,
+attribute matching ``doAttributesMatch`` 117-210, structural candidate
+reordering 496-767); client API methods.py:427-612. The reference's
+semantics match ``networkx.DiGraphMatcher.subgraph_isomorphisms_iter``
+(induced) — its own test asserts that equality (algorithm_test.py:154-270).
+
+Spark-first design — a backtracking engine is not a dataflow, so instead
+the search is a **vertex-at-a-time candidate join** (the worst-case-
+optimal-join shape SURVEY.md §2.5 prescribes):
+
+  * pattern vertices are ordered connectivity-first (every next vertex is
+    adjacent to an already-bound one when possible — the moral of the
+    reference's structural reorder);
+  * the state is a DataFrame of partial embeddings, one column per bound
+    pattern vertex; binding vertex i is an equi-join of the state with the
+    (attribute-pre-filtered) edge table on one anchor constraint, followed
+    by semi-joins for the remaining pattern edges into the bound set,
+    injectivity filters, and — for *induced* isomorphism — anti-joins for
+    every pattern NON-edge into the bound set;
+  * attribute matching = pre-filtering the candidate vertex/edge tables
+    once, before the joins (vectorized, never per-row Python).
+
+Each level is localCheckpoint'ed: memory stays bounded by the number of
+partial embeddings, and the join fan-out is Catalyst's to schedule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import DiGraph
+
+
+def _pattern_order(k: int, pedges: list[tuple[int, int]]) -> list[int]:
+    """Connectivity-first ordering, highest-degree start (structural
+    reorder, SubgraphSearch.chpl:496-767)."""
+    adj: dict[int, set[int]] = {v: set() for v in range(k)}
+    for a, b in pedges:
+        adj[a].add(b)
+        adj[b].add(a)
+    order: list[int] = []
+    remaining = set(range(k))
+    while remaining:
+        connected = [v for v in remaining if any(u in order for u in adj[v])]
+        pool = connected or list(remaining)
+        nxt = max(pool, key=lambda v: (len(adj[v]), -v))
+        order.append(nxt)
+        remaining.remove(nxt)
+    return order
+
+
+def subgraph_search(
+    graph: DiGraph,
+    pattern_edges: list[tuple[int, int]],
+    pattern_vertices: list[int] | None = None,
+    induced: bool = True,
+    node_filter: DataFrame | None = None,
+    edge_filter: DataFrame | None = None,
+) -> DataFrame:
+    """All embeddings of the pattern in ``graph``.
+
+    Returns a DataFrame with columns g0..g{k-1}: g_i = the graph vid bound
+    to pattern vertex i. ``induced=True`` → isomorphism (pattern non-edges
+    must be absent); ``False`` → monomorphism.
+
+    ``node_filter``: optional (vid, pv) pairs restricting which graph
+    vertices may bind each pattern vertex (the attribute-match
+    pre-filter); ``edge_filter``: optional (src, dst, psrc, pdst)
+    restricting which graph edges may realize each pattern edge.
+    """
+    spark = graph.spark
+    pverts = pattern_vertices or sorted({v for e in pattern_edges for v in e})
+    k = len(pverts)
+    vidx = {v: i for i, v in enumerate(pverts)}
+    pedges = [(vidx[a], vidx[b]) for a, b in pattern_edges if a != b]
+    pedge_set = set(pedges)
+
+    E = graph.edges.select("src", "dst").persist()
+
+    def edge_table(pi: int, pj: int) -> DataFrame:
+        if edge_filter is not None:
+            return edge_filter.filter(
+                (F.col("psrc") == pverts[pi]) & (F.col("pdst") == pverts[pj])
+            ).select("src", "dst")
+        return E
+
+    def vert_table(pi: int) -> DataFrame:
+        if node_filter is not None:
+            return node_filter.filter(F.col("pv") == pverts[pi]).select("vid")
+        return graph.vertices.select("vid")
+
+    order = _pattern_order(k, pedges)
+
+    # level 0
+    state = vert_table(order[0]).select(F.col("vid").alias(f"m{order[0]}"))
+    state = state.localCheckpoint(eager=True)
+    bound = [order[0]]
+
+    for vi in order[1:]:
+        fwd = [vj for vj in bound if (vi, vj) in pedge_set]  # vi -> bound
+        bwd = [vj for vj in bound if (vj, vi) in pedge_set]  # bound -> vi
+        new = f"m{vi}"
+
+        if bwd:
+            anchor = bwd[0]
+            ext = state.join(
+                edge_table(anchor, vi).select(
+                    F.col("src").alias(f"m{anchor}"), F.col("dst").alias(new)
+                ),
+                f"m{anchor}",
+            )
+            bwd = bwd[1:]
+        elif fwd:
+            anchor = fwd[0]
+            ext = state.join(
+                edge_table(vi, anchor).select(
+                    F.col("dst").alias(f"m{anchor}"), F.col("src").alias(new)
+                ),
+                f"m{anchor}",
+            )
+            fwd = fwd[1:]
+        else:
+            ext = state.crossJoin(vert_table(vi).select(F.col("vid").alias(new)))
+
+        # candidate vertex must be admissible for this pattern vertex
+        if node_filter is not None:
+            ext = ext.join(
+                vert_table(vi).select(F.col("vid").alias(new)), new, "left_semi"
+            )
+        # injectivity
+        for vj in bound:
+            ext = ext.filter(F.col(new) != F.col(f"m{vj}"))
+        # remaining required edges
+        for vj in bwd:
+            ext = ext.join(
+                edge_table(vj, vi).select(
+                    F.col("src").alias(f"m{vj}"), F.col("dst").alias(new)
+                ),
+                [f"m{vj}", new],
+                "left_semi",
+            )
+        for vj in fwd:
+            ext = ext.join(
+                edge_table(vi, vj).select(
+                    F.col("dst").alias(f"m{vj}"), F.col("src").alias(new)
+                ),
+                [f"m{vj}", new],
+                "left_semi",
+            )
+        # induced: pattern non-edges must be absent in the graph
+        if induced:
+            for vj in bound:
+                if (vi, vj) not in pedge_set:
+                    ext = ext.join(
+                        E.select(F.col("src").alias(new), F.col("dst").alias(f"m{vj}")),
+                        [new, f"m{vj}"],
+                        "left_anti",
+                    )
+                if (vj, vi) not in pedge_set:
+                    ext = ext.join(
+                        E.select(F.col("src").alias(f"m{vj}"), F.col("dst").alias(new)),
+                        [f"m{vj}", new],
+                        "left_anti",
+                    )
+        state = ext.localCheckpoint(eager=True)
+        bound.append(vi)
+        if state.isEmpty():
+            break
+
+    return state.select(*[F.col(f"m{i}").alias(f"g{i}") for i in range(k)])
+
+
+def _attr_node_filter(graph, pattern) -> DataFrame | None:
+    """(vid, pv): graph vertex admissible for pattern vertex — equality on
+    the pattern's node-attribute columns (doAttributesMatch,
+    SubgraphSearch.chpl:117-210)."""
+    if pattern.node_attributes is None or graph.node_attributes is None:
+        return None
+    cols = [c for c in pattern.node_attributes.columns if c != "nodes"]
+    if not cols:
+        return None
+    ga = graph.node_attributes
+    pa = pattern.node_attributes
+    pairs = ga.join(pa.withColumnRenamed("nodes", "pv"), cols).select("nodes", "pv")
+    lab = graph.vertices.select(F.col("vid"), F.col("label").alias("nodes"))
+    return pairs.join(lab, "nodes").select("vid", "pv")
+
+
+def _attr_edge_filter(graph, pattern) -> DataFrame | None:
+    if pattern.edge_attributes is None or graph.edge_attributes is None:
+        return None
+    cols = [c for c in pattern.edge_attributes.columns if c not in ("src", "dst")]
+    if not cols:
+        return None
+    ga = graph.edge_attributes
+    pa = pattern.edge_attributes.select(
+        F.col("src").alias("psrc"), F.col("dst").alias("pdst"), *cols
+    )
+    pairs = ga.join(pa, cols).select("src", "dst", "psrc", "pdst")
+    vs = graph.vertices.select(F.col("label").alias("src"), F.col("vid").alias("_s"))
+    vd = graph.vertices.select(F.col("label").alias("dst"), F.col("vid").alias("_d"))
+    return (
+        pairs.join(vs, "src")
+        .join(vd, "dst")
+        .select(F.col("_s").alias("src"), F.col("_d").alias("dst"), "psrc", "pdst")
+    )
+
+
+def subgraph_isomorphism(graph, pattern, return_count: bool = False):
+    """All induced embeddings of ``pattern`` (a PropGraph/DiGraph) in
+    ``graph``, with attribute matching when both carry attributes —
+    ar.subgraph_isomorphism parity (methods.py:427-612). Embedding columns
+    are graph *labels* in pattern-vertex order."""
+    return _search_api(graph, pattern, induced=True, return_count=return_count)
+
+
+def subgraph_monomorphism(graph, pattern, return_count: bool = False):
+    """Non-induced variant (pattern edges required, non-edges ignored)."""
+    return _search_api(graph, pattern, induced=False, return_count=return_count)
+
+
+def _search_api(graph, pattern, induced: bool, return_count: bool):
+    pedges = [
+        (r["src_label"], r["dst_label"]) for r in pattern.edge_list().collect()
+    ]
+    pverts = [r["label"] for r in pattern.nodes().collect()]
+    nf = _attr_node_filter(graph, pattern) if hasattr(pattern, "node_attributes") else None
+    ef = _attr_edge_filter(graph, pattern) if hasattr(pattern, "edge_attributes") else None
+    emb = subgraph_search(
+        graph, pedges, pattern_vertices=pverts, induced=induced,
+        node_filter=nf, edge_filter=ef,
+    )
+    if return_count:
+        return emb.count()
+    # map vids back to labels
+    out = emb
+    for i in range(len(pverts)):
+        lab = graph.vertices.select(
+            F.col("vid").alias(f"g{i}"), F.col("label").alias(f"v{i}")
+        )
+        out = out.join(lab, f"g{i}")
+    return out.select(*[F.col(f"v{i}").alias(f"g{i}") for i in range(len(pverts))])

@@ -1,0 +1,104 @@
+"""Subgraph isomorphism/monomorphism vs NetworkX matchers — the
+reference's own oracle convention (algorithm_test.py:154-270)."""
+
+import networkx as nx
+import pytest
+from pyspark.sql import functions as F
+
+from arkouda_njit_spark import DiGraph
+from arkouda_njit_spark.operators.subgraph_search import (
+    subgraph_isomorphism,
+    subgraph_monomorphism,
+    subgraph_search,
+)
+from arkouda_njit_spark.propgraph import PropGraph
+
+# propgraph18 — the reference's subgraph-isomorphism test graph
+SRC = [1, 1, 2, 2, 3, 0, 3, 3, 4, 4, 4, 5, 5, 7, 7, 8, 8, 9]
+DST = [3, 0, 1, 4, 0, 3, 4, 7, 1, 5, 8, 2, 9, 4, 6, 5, 7, 8]
+# pattern: the reference's 4-vertex H
+PSRC = [0, 1, 2, 1]
+PDST = [1, 2, 0, 3]
+
+
+def _nx_iso_count(gsrc, gdst, psrc, pdst, mono=False):
+    G = nx.DiGraph(list(zip(gsrc, gdst)))
+    H = nx.DiGraph(list(zip(psrc, pdst)))
+    GM = nx.algorithms.isomorphism.DiGraphMatcher(G, H)
+    it = GM.subgraph_monomorphisms_iter() if mono else GM.subgraph_isomorphisms_iter()
+    return len(list(it))
+
+
+@pytest.fixture(scope="module")
+def g18(spark):
+    return DiGraph.from_edges(spark, SRC, DST)
+
+
+def test_isomorphism_count_reference_pattern(spark, g18):
+    h = DiGraph.from_edges(spark, PSRC, PDST)
+    got = subgraph_isomorphism(g18, h, return_count=True)
+    assert got == _nx_iso_count(SRC, DST, PSRC, PDST)
+
+
+def test_monomorphism_count(spark, g18):
+    h = DiGraph.from_edges(spark, PSRC, PDST)
+    got = subgraph_monomorphism(g18, h, return_count=True)
+    assert got == _nx_iso_count(SRC, DST, PSRC, PDST, mono=True)
+
+
+def test_embeddings_are_valid(spark, g18):
+    h = DiGraph.from_edges(spark, PSRC, PDST)
+    embs = subgraph_isomorphism(g18, h).collect()
+    G = nx.DiGraph(list(zip(SRC, DST)))
+    H = nx.DiGraph(list(zip(PSRC, PDST)))
+    hverts = sorted(H.nodes())
+    for r in embs:
+        mapping = {hverts[i]: r[f"g{i}"] for i in range(len(hverts))}
+        assert len(set(mapping.values())) == len(mapping)
+        for a, b in H.edges():
+            assert G.has_edge(mapping[a], mapping[b]), (mapping, a, b)
+        # induced: non-edges absent
+        for a in hverts:
+            for b in hverts:
+                if a != b and not H.has_edge(a, b):
+                    assert not G.has_edge(mapping[a], mapping[b])
+
+
+def test_triangle_pattern_multiple_graphs(spark):
+    # directed 3-cycle pattern in a graph with several cycles
+    gsrc = [0, 1, 2, 2, 3, 4, 5, 6, 4]
+    gdst = [1, 2, 0, 3, 4, 2, 6, 5, 5]
+    g = DiGraph.from_edges(spark, gsrc, gdst)
+    h = DiGraph.from_edges(spark, [0, 1, 2], [1, 2, 0])
+    got = subgraph_isomorphism(g, h, return_count=True)
+    assert got == _nx_iso_count(gsrc, gdst, [0, 1, 2], [1, 2, 0])
+
+
+def test_attribute_matching(spark):
+    # two labeled triangles; pattern requires label 'x' on all vertices —
+    # only the x-triangle matches
+    edges = spark.createDataFrame(
+        [(0, 1, "r"), (1, 2, "r"), (2, 0, "r"), (10, 11, "r"), (11, 12, "r"), (12, 10, "r")],
+        "src long, dst long, rel string",
+    )
+    g = PropGraph.from_edge_attributes(edges, "src", "dst", ["rel"])
+    g.load_node_attributes(
+        spark.createDataFrame(
+            [(i, "x" if i < 10 else "y") for i in [0, 1, 2, 10, 11, 12]],
+            "nodes long, lbl string",
+        ),
+        "nodes",
+        ["lbl"],
+    )
+    pe = spark.createDataFrame(
+        [(0, 1, "r"), (1, 2, "r"), (2, 0, "r")], "src long, dst long, rel string"
+    )
+    h = PropGraph.from_edge_attributes(pe, "src", "dst", ["rel"])
+    h.load_node_attributes(
+        spark.createDataFrame([(i, "x") for i in range(3)], "nodes long, lbl string"),
+        "nodes",
+        ["lbl"],
+    )
+    assert subgraph_isomorphism(g, h, return_count=True) == 3  # 3 rotations
+    embs = {tuple(r) for r in subgraph_isomorphism(g, h).collect()}
+    assert all(set(e) == {0, 1, 2} for e in embs)
