@@ -19,6 +19,7 @@ from .similarity import (
     embedding_near_duplicates,
     with_normalized,
 )
+from .strings import longest_common_substring, suffix_array
 from .text import (
     bpe_ish_token_count,
     fingerprint,
@@ -44,6 +45,8 @@ __all__ = [
     "language_id",
     "quality_score",
     "fingerprint",
+    "suffix_array",
+    "longest_common_substring",
     "extract_features",
     "resize_images",
     "sample_frames",

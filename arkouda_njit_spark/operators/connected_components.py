@@ -56,8 +56,10 @@ def connected_components(
         # 1. Hash-min exchange: neighbor labels flow along edges.
         #    edges is hash-partitioned by src and state by vid with the same
         #    partition count, so the join reuses the cached edge partitioning.
+        # shuffle_hash, not broadcast: the label state is V-sized (cannot
+        # broadcast at 10^12 vertices) and is co-partitioned with edges.
         nbr = (
-            edges.join(state.withColumnRenamed("vid", "src"), "src")
+            edges.join(state.withColumnRenamed("vid", "src").hint("shuffle_hash"), "src")
             .select(F.col("dst").alias("vid"), "component")
         )
         exchanged = (

@@ -43,23 +43,27 @@ def label_propagation(
     init = graph.vertices.select("vid", F.col("vid").alias("label"))
 
     def step(state: DataFrame, i: int) -> DataFrame:
+        # state joins with shuffle_hash (never broadcast: serial cost per
+        # iteration, impossible at scale); neighbor-label frequencies are
+        # map-side combined. Isolated vertices keep their label via a
+        # zero-count row unioned into the SAME aggregation (any real
+        # neighbor count >= 1 beats it) — no keep-label join in the loop.
         nbr_labels = (
-            edges.join(state.withColumnRenamed("vid", "src"), "src")
-            .select(F.col("dst").alias("vid"), "label")
+            edges.join(state.withColumnRenamed("vid", "src").hint("shuffle_hash"), "src")
+            .select(F.col("dst").alias("vid"), "label", F.lit(1).alias("one"))
         )
-        freq = nbr_labels.groupBy("vid", "label").agg(F.count("*").alias("cnt"))
+        own = state.select("vid", "label", F.lit(0).alias("one"))
+        freq = (
+            nbr_labels.unionAll(own)
+            .groupBy("vid", "label")
+            .agg(F.sum("one").alias("cnt"))
+        )
         # argmax by (cnt desc, label asc): max over struct(cnt, -label)
         # keeps the whole argmax inside one hash aggregation.
-        best = (
+        return (
             freq.groupBy("vid")
             .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("s"))
             .select("vid", (-F.col("s.neg")).alias("label"))
-        )
-        return (
-            state.alias("o")
-            .join(best.alias("n"), "vid", "left")
-            .select("vid", F.coalesce(F.col("n.label"), F.col("o.label")).alias("label"))
-            .repartition(P, "vid")
         )
 
     loop = FixpointLoop(

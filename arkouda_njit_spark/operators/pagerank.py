@@ -69,6 +69,8 @@ def pagerank(
 
     init = graph.vertices.select("vid", F.lit(1.0 / n).alias("rank"))
 
+    zeros = graph.vertices.select("vid", F.lit(0.0).alias("c"))
+
     def step(state: DataFrame, i: int) -> DataFrame:
         # ONE scalar aggregate for the dangling mass, folded back in as a
         # literal (broadcast) — never a driver loop over vertices.
@@ -77,21 +79,25 @@ def pagerank(
             dangle_mass = (
                 state.join(dangling, "vid", "left_semi").agg(F.sum("rank")).collect()[0][0]
             ) or 0.0
+        base = (1.0 - alpha) / n + alpha * dangle_mass / n
+        # The rank state is joined with shuffle_hash, not broadcast: a
+        # broadcast of the whole state per iteration is a serial cost that
+        # caps scaling and is impossible at 10^12 vertices; the state is
+        # co-partitioned with the cached edge table so only the (small)
+        # state side moves. Vertices with no in-edges are handled by
+        # unioning zero-contributions into the SAME aggregation — no second
+        # join in the loop.
         contribs = (
-            trans.join(state.withColumnRenamed("vid", "src"), "src")
+            trans.join(
+                state.withColumnRenamed("vid", "src").hint("shuffle_hash"), "src"
+            )
             .select(F.col("dst").alias("vid"), (F.col("p") * F.col("rank")).alias("c"))
+            .unionAll(zeros)
             .groupBy("vid")
             .agg(F.sum("c").alias("c"))
         )
-        base = (1.0 - alpha) / n + alpha * dangle_mass / n
-        return (
-            state.select("vid")
-            .join(contribs, "vid", "left")
-            .select(
-                "vid",
-                (F.lit(base) + F.lit(alpha) * F.coalesce(F.col("c"), F.lit(0.0))).alias("rank"),
-            )
-            .repartition(P, "vid")
+        return contribs.select(
+            "vid", (F.lit(base) + F.lit(alpha) * F.col("c")).alias("rank")
         )
 
     # tol <= 0 selects fixed-iteration mode: no per-iteration convergence

@@ -22,7 +22,14 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-PR_ITERS = 10
+PR_ITERS = int(os.environ.get("SPARK_GRAFT_SCALING_ITERS", "5"))
+# Scaling must be measured on a compute-bound job: the sf0.1 tables are so
+# small that per-iteration scheduling overhead dominates and more cores
+# only add overhead. The scaling input is therefore a deterministic RMAT
+# graph (hash-seeded ⇒ bit-identical at any parallelism) big enough that
+# the per-iteration join/agg does real work per core.
+RMAT_SCALE = int(os.environ.get("SPARK_GRAFT_SCALING_RMAT_SCALE", "21"))
+RMAT_EF = int(os.environ.get("SPARK_GRAFT_SCALING_RMAT_EF", "16"))
 
 WORKER = r"""
 import json, os, sys, time
@@ -31,22 +38,21 @@ from pyspark.sql import functions as F
 from arkouda_njit_spark.session import get_spark
 from arkouda_njit_spark import Graph
 from arkouda_njit_spark.operators.pagerank import pagerank
-from arkouda_njit_spark.plans.iterate import FixpointLoop
+from arkouda_njit_spark.sources.generators import rmat_graph
 
 cpus = int(sys.argv[1])
+# Session defaults: the iterative kernels carry their own shuffle_hash
+# join hints (per-iteration broadcast of the V-sized state is the
+# anti-pattern; the build-time dimension joins still broadcast freely).
 spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
 spark.sparkContext.setLogLevel("ERROR")
-li = spark.read.parquet(%(sf)r + "/lineitem.parquet")
-g = Graph.from_edges(spark, li.select(
-    F.col("l_partkey").alias("src"),
-    (F.lit(100000) + F.col("l_suppkey")).alias("dst"),
-    F.lit(1.0).alias("weight")))
+raw = rmat_graph(spark, scale=%(rmat_scale)d, edge_factor=%(rmat_ef)d, seed=42)
+g = Graph.from_edges(spark, raw.withColumn("weight", F.lit(1.0)))
 edges = g.edges.count()
-# warmup iteration excluded from timing (JIT/codegen)
-pagerank(g, tol=0.0, max_iterations=1)
 t0 = time.time()
-pr = pagerank(g, tol=0.0, max_iterations=%(iters)d,
-              collect_partition_metrics=True)
+# timed region: transition-table build + %(iters)d fixed power iterations
+# (one job per iteration; identical work at both parallelism levels)
+pr = pagerank(g, tol=0.0, max_iterations=%(iters)d)
 wall = time.time() - t0
 pr.count()
 # partition balance from the final state
@@ -61,7 +67,12 @@ spark.stop()
 
 
 def run_at(cpus: int) -> dict:
-    code = WORKER % {"repo": REPO, "sf": SF_DIR, "iters": PR_ITERS}
+    code = WORKER % {
+        "repo": REPO,
+        "iters": PR_ITERS,
+        "rmat_scale": RMAT_SCALE,
+        "rmat_ef": RMAT_EF,
+    }
     out = subprocess.run(
         [sys.executable, "-c", code, str(cpus)],
         capture_output=True, text=True, timeout=1800, cwd=REPO,
@@ -80,7 +91,7 @@ def main():
     balance_cv = statistics.pstdev(rows) / statistics.mean(rows) if rows else 0.0
     result = {
         "job": f"pagerank_{PR_ITERS}iters",
-        "sf_dir": SF_DIR,
+        "input": f"rmat_scale{RMAT_SCALE}_ef{RMAT_EF}",
         "N": n,
         "throughput_N_edges_per_sec": round(lo["edges_per_sec"], 1),
         "throughput_4N_edges_per_sec": round(hi["edges_per_sec"], 1),
