@@ -49,7 +49,11 @@ def minhash_signatures(
     back to whole-text shingles so they still get a signature."""
     sh = shingles(text_col, shingle_n)
     sh = F.when(F.size(sh) > 0, sh).otherwise(F.array(F.trim(F.col(text_col))))
-    exploded = df.select(F.col(id_col), F.explode(sh).alias("shingle")).distinct()
+    # No distinct() before the aggregation: MIN is duplicate-insensitive,
+    # and each document's shingles are partition-local, so the map-side
+    # partial min collapses to one row per (doc, hash) before any shuffle —
+    # the whole signature computation is effectively shuffle-free.
+    exploded = df.select(F.col(id_col), F.explode(sh).alias("shingle"))
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
         for i in range(num_hashes)

@@ -88,6 +88,29 @@ class PropGraph(DiGraph):
         ).persist()
         self._label_columns = list(label_columns or [])
 
+    def add_node_labels(self, df: DataFrame, node_column: str) -> None:
+        """propgraphclass.py:99-188 — every non-key column is a label."""
+        labels = [c for c in df.columns if c != node_column]
+        if self.node_attributes is None:
+            self.load_node_attributes(df, node_column, label_columns=labels)
+        else:
+            named = df.withColumnRenamed(node_column, "nodes")
+            self.node_attributes = self.node_attributes.join(named, "nodes", "left")
+            self._label_columns += labels
+
+    def add_edge_relationships(self, df: DataFrame, source_column: str, destination_column: str) -> None:
+        """propgraphclass.py:290-383 — join relationship columns onto the
+        existing edge attribute table by (src, dst)."""
+        named = df.withColumnRenamed(source_column, "src").withColumnRenamed(
+            destination_column, "dst"
+        )
+        rels = [c for c in named.columns if c not in ("src", "dst")]
+        if self.edge_attributes is None:
+            self.edge_attributes = named
+        else:
+            self.edge_attributes = self.edge_attributes.join(named, ["src", "dst"], "left")
+        self._relationship_columns += rels
+
     # -- getters (propgraphclass.py:500-558) ----------------------------------
     def get_edge_attributes(self) -> DataFrame:
         return self.edge_attributes

@@ -1,14 +1,27 @@
 """Two-parallelism scaling benchmark (BASELINE.md in-sandbox protocol).
 
-Runs the identical PageRank job on the identical input at local[N] and
-local[4N] in separate JVMs, reports throughput at both and
+Runs the identical job on the identical (deterministic, hash-seeded) input
+at local[N] and local[4N] in separate JVMs and reports throughput at both,
 
-    scaling_efficiency = (throughput_4N / throughput_N) / 4
+    scaling_efficiency = (throughput_4N / throughput_N) / 4,
 
-plus per-partition task-balance evidence. Writes BENCH_SCALING.json and a
-markdown section for BASELINE.md.
+and per-partition row-balance evidence. Two jobs:
 
-Usage: python scripts/scaling_bench.py [N]   (default N=8 -> compares 8 vs 32)
+  * ``pagerank``  — steady-state power iterations over an RMAT graph
+    (shuffle-bound: on a single box this measures the memory-bandwidth
+    ceiling, since all N threads share one memory bus — the honest
+    single-node analogue of network-bound cluster scaling);
+  * ``minhash``   — MinHash signatures over a synthetic document corpus
+    (CPU-bound: md5 over exploded shingles; shows the engine's scaling
+    when the work is compute-limited, as most of the 100 TB text
+    pipeline is).
+
+Results for every (job, N) run are merged into BENCH_SCALING.json.
+
+Usage:
+  python scripts/scaling_bench.py [N] [job]     # default N=8, job=all
+Env: SPARK_GRAFT_SCALING_ITERS, SPARK_GRAFT_SCALING_RMAT_SCALE (default 21),
+     SPARK_GRAFT_SCALING_DOCS (default 400000), SPARK_GRAFT_DRIVER_MEM.
 """
 
 from __future__ import annotations
@@ -18,93 +31,136 @@ import os
 import statistics
 import subprocess
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-PR_ITERS = int(os.environ.get("SPARK_GRAFT_SCALING_ITERS", "5"))
-# Scaling must be measured on a compute-bound job: the sf0.1 tables are so
-# small that per-iteration scheduling overhead dominates and more cores
-# only add overhead. The scaling input is therefore a deterministic RMAT
-# graph (hash-seeded ⇒ bit-identical at any parallelism) big enough that
-# the per-iteration join/agg does real work per core.
+PR_ITERS = int(os.environ.get("SPARK_GRAFT_SCALING_ITERS", "10"))
 RMAT_SCALE = int(os.environ.get("SPARK_GRAFT_SCALING_RMAT_SCALE", "21"))
 RMAT_EF = int(os.environ.get("SPARK_GRAFT_SCALING_RMAT_EF", "16"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "400000"))
 
-WORKER = r"""
-import json, os, sys, time
+PAGERANK_WORKER = r"""
+import json, sys, time
 sys.path.insert(0, %(repo)r)
 from pyspark.sql import functions as F
 from arkouda_njit_spark.session import get_spark
 from arkouda_njit_spark import Graph
-from arkouda_njit_spark.operators.pagerank import pagerank
+from arkouda_njit_spark.operators.pagerank import pagerank, prepare_pagerank
 from arkouda_njit_spark.sources.generators import rmat_graph
 
 cpus = int(sys.argv[1])
-# Session defaults: the iterative kernels carry their own shuffle_hash
-# join hints (per-iteration broadcast of the V-sized state is the
-# anti-pattern; the build-time dimension joins still broadcast freely).
 spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
 spark.sparkContext.setLogLevel("ERROR")
 raw = rmat_graph(spark, scale=%(rmat_scale)d, edge_factor=%(rmat_ef)d, seed=42)
 g = Graph.from_edges(spark, raw.withColumn("weight", F.lit(1.0)))
 edges = g.edges.count()
+prep = prepare_pagerank(g)
+pagerank(g, tol=0.0, max_iterations=1, prepared=prep)  # warmup (JIT)
 t0 = time.time()
-# timed region: transition-table build + %(iters)d fixed power iterations
-# (one job per iteration; identical work at both parallelism levels)
-pr = pagerank(g, tol=0.0, max_iterations=%(iters)d)
+pr = pagerank(g, tol=0.0, max_iterations=%(iters)d, prepared=prep)
 wall = time.time() - t0
-pr.count()
-# partition balance from the final state
 rows = pr.groupBy(F.spark_partition_id().alias("pid")).count().collect()
-balance = {str(r["pid"]): r["count"] for r in rows}
-print(json.dumps({"cpus": cpus, "wall_sec": wall, "edges": edges,
-                  "edges_per_sec": edges * %(iters)d / wall,
+print(json.dumps({"cpus": cpus, "wall_sec": wall, "units": edges * %(iters)d,
+                  "throughput": edges * %(iters)d / wall,
                   "iters_per_hour": %(iters)d / wall * 3600,
-                  "partition_rows": balance}))
+                  "partition_rows": {str(r["pid"]): r["count"] for r in rows}}))
+spark.stop()
+"""
+
+MINHASH_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from arkouda_njit_spark.session import get_spark
+from arkouda_njit_spark.functions import minhash_signatures
+
+cpus = int(sys.argv[1])
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+n = %(n_docs)d
+words = F.transform(F.sequence(F.lit(0), F.lit(39)),
+                    lambda i: F.substring(F.md5(F.concat(F.col("id").cast("string"),
+                                                         F.lit(":"), i.cast("string"))), 1, 6))
+docs = spark.range(n).select(F.col("id").alias("doc_id"),
+                             F.array_join(words, " ").alias("text")).persist()
+docs.count()
+# warmup on a slice (JIT)
+minhash_signatures(docs.limit(20000), num_hashes=8).count()
+t0 = time.time()
+sigs = minhash_signatures(docs, num_hashes=8)
+cnt = sigs.count()
+wall = time.time() - t0
+rows = sigs.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+print(json.dumps({"cpus": cpus, "wall_sec": wall, "units": cnt,
+                  "throughput": cnt / wall, "iters_per_hour": None,
+                  "partition_rows": {str(r["pid"]): r["count"] for r in rows}}))
 spark.stop()
 """
 
 
-def run_at(cpus: int) -> dict:
-    code = WORKER % {
-        "repo": REPO,
-        "iters": PR_ITERS,
-        "rmat_scale": RMAT_SCALE,
-        "rmat_ef": RMAT_EF,
-    }
+def run_at(worker: str, cpus: int, params: dict) -> dict:
+    code = worker % params
     out = subprocess.run(
         [sys.executable, "-c", code, str(cpus)],
-        capture_output=True, text=True, timeout=1800, cwd=REPO,
+        capture_output=True, text=True, timeout=3600, cwd=REPO,
     )
     if out.returncode != 0:
         raise RuntimeError(out.stderr[-2000:])
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+JOBS = {
+    "pagerank": (
+        PAGERANK_WORKER,
+        {"repo": REPO, "iters": PR_ITERS, "rmat_scale": RMAT_SCALE, "rmat_ef": RMAT_EF},
+        f"pagerank_{PR_ITERS}iters_rmat{RMAT_SCALE}",
+        "edges_processed_per_sec",
+    ),
+    "minhash": (
+        MINHASH_WORKER,
+        {"repo": REPO, "n_docs": N_DOCS},
+        f"minhash8_{N_DOCS}docs",
+        "docs_per_sec",
+    ),
+}
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    lo = run_at(n)
-    hi = run_at(4 * n)
-    eff = (hi["edges_per_sec"] / lo["edges_per_sec"]) / 4
-    rows = list(hi["partition_rows"].values())
-    balance_cv = statistics.pstdev(rows) / statistics.mean(rows) if rows else 0.0
-    result = {
-        "job": f"pagerank_{PR_ITERS}iters",
-        "input": f"rmat_scale{RMAT_SCALE}_ef{RMAT_EF}",
-        "N": n,
-        "throughput_N_edges_per_sec": round(lo["edges_per_sec"], 1),
-        "throughput_4N_edges_per_sec": round(hi["edges_per_sec"], 1),
-        "iters_per_hour_N": round(lo["iters_per_hour"], 1),
-        "iters_per_hour_4N": round(hi["iters_per_hour"], 1),
-        "wall_N_sec": round(lo["wall_sec"], 2),
-        "wall_4N_sec": round(hi["wall_sec"], 2),
-        "scaling_efficiency": round(eff, 3),
-        "partition_row_balance_cv_4N": round(balance_cv, 4),
-    }
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
-        json.dump(result, f, indent=2)
-    print(json.dumps(result))
+    which = sys.argv[2] if len(sys.argv) > 2 else "all"
+    names = list(JOBS) if which == "all" else [which]
+
+    path = os.path.join(REPO, "BENCH_SCALING.json")
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+
+    for name in names:
+        worker, params, label, unit = JOBS[name]
+        lo = run_at(worker, n, params)
+        hi = run_at(worker, 4 * n, params)
+        eff = (hi["throughput"] / lo["throughput"]) / 4
+        rows = list(hi["partition_rows"].values())
+        cv = statistics.pstdev(rows) / statistics.mean(rows) if rows else 0.0
+        entry = {
+            "job": label,
+            "N": n,
+            "unit": unit,
+            "throughput_N": round(lo["throughput"], 1),
+            "throughput_4N": round(hi["throughput"], 1),
+            "wall_N_sec": round(lo["wall_sec"], 2),
+            "wall_4N_sec": round(hi["wall_sec"], 2),
+            "scaling_efficiency": round(eff, 3),
+            "partition_row_balance_cv_4N": round(cv, 4),
+        }
+        if lo.get("iters_per_hour"):
+            entry["iters_per_hour_N"] = round(lo["iters_per_hour"], 1)
+            entry["iters_per_hour_4N"] = round(hi["iters_per_hour"], 1)
+        merged[f"{name}_N{n}"] = entry
+        print(json.dumps(entry))
+
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=2)
 
 
 if __name__ == "__main__":
