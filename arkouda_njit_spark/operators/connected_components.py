@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..graph import Graph
 from ..plans.iterate import FixpointLoop, count_changed
+from ..plans.joins import state_join_side
 
 
 def connected_components(
@@ -56,10 +57,13 @@ def connected_components(
         # 1. Hash-min exchange: neighbor labels flow along edges.
         #    edges is hash-partitioned by src and state by vid with the same
         #    partition count, so the join reuses the cached edge partitioning.
-        # shuffle_hash, not broadcast: the label state is V-sized (cannot
-        # broadcast at 10^12 vertices) and is co-partitioned with edges.
+        # State join strategy: broadcast while small, shuffle_hash beyond
+        # (plans/joins.py) — the label state is V-sized and co-partitioned.
         nbr = (
-            edges.join(state.withColumnRenamed("vid", "src").hint("shuffle_hash"), "src")
+            edges.join(
+                state_join_side(state.withColumnRenamed("vid", "src"), graph.n_vertices),
+                "src",
+            )
             .select(F.col("dst").alias("vid"), "component")
         )
         exchanged = (

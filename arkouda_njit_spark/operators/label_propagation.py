@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..graph import Graph
 from ..plans.iterate import FixpointLoop, count_changed
+from ..plans.joins import state_join_side
 
 
 def label_propagation(
@@ -43,13 +44,16 @@ def label_propagation(
     init = graph.vertices.select("vid", F.col("vid").alias("label"))
 
     def step(state: DataFrame, i: int) -> DataFrame:
-        # state joins with shuffle_hash (never broadcast: serial cost per
-        # iteration, impossible at scale); neighbor-label frequencies are
-        # map-side combined. Isolated vertices keep their label via a
-        # zero-count row unioned into the SAME aggregation (any real
-        # neighbor count >= 1 beats it) — no keep-label join in the loop.
+        # State join strategy: broadcast while small, shuffle_hash beyond
+        # (plans/joins.py); neighbor-label frequencies are map-side
+        # combined. Isolated vertices keep their label via a zero-count row
+        # unioned into the SAME aggregation (any real neighbor count >= 1
+        # beats it) — no keep-label join in the loop.
         nbr_labels = (
-            edges.join(state.withColumnRenamed("vid", "src").hint("shuffle_hash"), "src")
+            edges.join(
+                state_join_side(state.withColumnRenamed("vid", "src"), graph.n_vertices),
+                "src",
+            )
             .select(F.col("dst").alias("vid"), "label", F.lit(1).alias("one"))
         )
         own = state.select("vid", "label", F.lit(0).alias("one"))

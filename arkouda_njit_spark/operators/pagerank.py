@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..graph import Graph
 from ..plans.iterate import FixpointLoop, l1_diff
+from ..plans.joins import state_join_side
 
 
 def prepare_pagerank(graph: Graph, weight: str | None = None):
@@ -91,16 +92,14 @@ def pagerank(
                 state.join(dangling, "vid", "left_semi").agg(F.sum("rank")).collect()[0][0]
             ) or 0.0
         base = (1.0 - alpha) / n + alpha * dangle_mass / n
-        # The rank state is joined with shuffle_hash, not broadcast: a
-        # broadcast of the whole state per iteration is a serial cost that
-        # caps scaling and is impossible at 10^12 vertices; the state is
-        # co-partitioned with the cached edge table so only the (small)
-        # state side moves. Vertices with no in-edges are handled by
-        # unioning zero-contributions into the SAME aggregation — no second
-        # join in the loop.
+        # State join strategy: broadcast while the state is small,
+        # shuffle_hash beyond (plans/joins.py — broadcasting a 10^12-vertex
+        # state is impossible; co-partitioning means only the state side
+        # moves). Vertices with no in-edges are handled by unioning
+        # zero-contributions into the SAME aggregation — no second join.
         contribs = (
             trans.join(
-                state.withColumnRenamed("vid", "src").hint("shuffle_hash"), "src"
+                state_join_side(state.withColumnRenamed("vid", "src"), n), "src"
             )
             .select(F.col("dst").alias("vid"), (F.col("p") * F.col("rank")).alias("c"))
             .unionAll(zeros)
