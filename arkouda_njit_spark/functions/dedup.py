@@ -112,13 +112,19 @@ def ngram_jaccard_pairs(
         .persist()
     )
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("sz"))
-    pairs = (
-        ex.select(F.col(id_col).alias("a"), "sh")
-        .join(ex.select(F.col(id_col).alias("b"), "sh"), "sh")
-        .filter(F.col("a") < F.col("b"))
-    )
     if candidates is not None:
-        pairs = pairs.join(candidates, ["a", "b"], "left_semi")
+        # Enumerate shingles of candidate pairs ONLY: candidates ⋈ shingles(a)
+        # ⋈ shingles(b) on equality — never the full inverted-index self-join
+        # (whose fan-out is Σ freq(shingle)² and explodes on common shingles).
+        pairs = candidates.join(
+            ex.select(F.col(id_col).alias("a"), "sh"), "a"
+        ).join(ex.select(F.col(id_col).alias("b"), "sh"), ["b", "sh"])
+    else:
+        pairs = (
+            ex.select(F.col(id_col).alias("a"), "sh")
+            .join(ex.select(F.col(id_col).alias("b"), "sh"), "sh")
+            .filter(F.col("a") < F.col("b"))
+        )
     inter = pairs.groupBy("a", "b").agg(F.count("*").alias("common"))
     out = (
         inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sa")), "a")

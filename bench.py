@@ -102,6 +102,16 @@ def run_queries(spark) -> tuple[dict, dict]:
     minhash_near_duplicates(docs, num_hashes=16, bands=8, threshold=0.7).count()
     timings["minhash_near_dup"] = time.time() - t0
 
+    # north-star input path end-to-end: pages -> Arrow link extraction ->
+    # canonical web graph -> PageRank
+    from arkouda_njit_spark.sources import build_web_graph, generate_pages
+
+    t0 = time.time()
+    pages = generate_pages(spark, n_pages=20000, links_per_page=10, seed=42)
+    wg = build_web_graph(pages)
+    pagerank(wg, tol=0.0, max_iterations=5).count()
+    timings["web_pipeline"] = time.time() - t0
+
     return timings, extras
 
 

@@ -1,0 +1,86 @@
+"""Property-based differential testing: random small graphs vs NetworkX /
+pure-python oracles, beyond the reference's fixed fixtures (SURVEY.md §5
+notes the reference has no randomized differential testing — we add it)."""
+
+import networkx as nx
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from arkouda_njit_spark import Graph
+from arkouda_njit_spark.operators import (
+    connected_components,
+    pagerank,
+    squares,
+    triangle_count,
+)
+
+from fixtures import python_pagerank
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 25), st.integers(0, 25)),
+    min_size=1,
+    max_size=60,
+)
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(edges=edge_lists)
+@SLOW
+def test_cc_random(spark, edges):
+    g = Graph.from_edges(spark, [a for a, _ in edges], [b for _, b in edges])
+    nxg = nx.Graph(edges)
+    vid_to_label = {r["vid"]: r["label"] for r in g.vertices.collect()}
+    got = {}
+    for r in connected_components(g).collect():
+        got.setdefault(r["component"], set()).add(vid_to_label[r["vid"]])
+    ours = sorted(tuple(sorted(s)) for s in got.values())
+    theirs = sorted(tuple(sorted(c)) for c in nx.connected_components(nxg))
+    assert ours == theirs
+
+
+@given(edges=edge_lists)
+@SLOW
+def test_triangles_random(spark, edges):
+    g = Graph.from_edges(spark, [a for a, _ in edges], [b for _, b in edges])
+    nxg = nx.Graph(edges)
+    assert triangle_count(g) == sum(nx.triangles(nxg).values()) // 3
+
+
+@given(edges=edge_lists)
+@SLOW
+def test_squares_random(spark, edges):
+    g = Graph.from_edges(spark, [a for a, _ in edges], [b for _, b in edges])
+    nxg = nx.Graph(edges)
+    nxg.remove_edges_from(nx.selfloop_edges(nxg))
+    # oracle: count 4-cycles by brute force over node quadruples
+    import itertools
+
+    n4 = 0
+    for a, b, c, d in itertools.combinations(sorted(nxg.nodes()), 4):
+        # cycles on {a,b,c,d}: 3 distinct pairings
+        for perm in ((a, b, c, d), (a, c, b, d), (a, b, d, c)):
+            w, x, y, z = perm
+            if (
+                nxg.has_edge(w, x)
+                and nxg.has_edge(x, y)
+                and nxg.has_edge(y, z)
+                and nxg.has_edge(z, w)
+            ):
+                n4 += 1
+    assert squares(g) == n4
+
+
+@given(edges=edge_lists)
+@SLOW
+def test_pagerank_random(spark, edges):
+    g = Graph.from_edges(spark, [a for a, _ in edges], [b for _, b in edges])
+    nxg = nx.Graph(edges)
+    expected = python_pagerank(nxg, alpha=0.85, tol=1e-6)
+    vid_to_label = {r["vid"]: r["label"] for r in g.vertices.collect()}
+    for r in pagerank(g).collect():
+        assert r["rank"] == pytest.approx(expected[vid_to_label[r["vid"]]], abs=1e-6)
