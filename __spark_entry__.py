@@ -61,8 +61,20 @@ from arkouda_njit_spark.streaming import sessionize
 
 _CACHE: dict = {}
 
+# The driver may hand us a vanilla session: pin the confs correctness
+# depends on (UTC for timestamp-string parity with DuckDB) and a sane
+# partition count for the small test tables (the default 200 just adds
+# scheduling overhead at sf<=0.1).
+_GRAPH_PARTITIONS = 16
+
+
+def _tune(spark: SparkSession) -> SparkSession:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    _tune(spark)
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
@@ -75,7 +87,7 @@ def _graph_a(spark: SparkSession, sf_dir: str) -> Graph:
             (F.lit(100000) + F.col("l_suppkey")).alias("dst"),
             F.lit(1.0).alias("weight"),
         )
-        _CACHE[key] = Graph.from_edges(spark, raw)
+        _CACHE[key] = Graph.from_edges(spark, raw, num_partitions=_GRAPH_PARTITIONS)
     return _CACHE[key]
 
 
@@ -88,7 +100,7 @@ def _graph_b(spark: SparkSession, sf_dir: str) -> Graph:
             F.pmod(F.col("l_partkey"), F.lit(301)).alias("dst"),
             F.lit(1.0).alias("weight"),
         ).filter(F.col("src") != F.col("dst"))
-        _CACHE[key] = Graph.from_edges(spark, raw)
+        _CACHE[key] = Graph.from_edges(spark, raw, num_partitions=_GRAPH_PARTITIONS)
     return _CACHE[key]
 
 
@@ -159,6 +171,7 @@ def q_out_degree(spark, sf_dir):
             (F.lit(100000) + F.col("l_suppkey")).alias("dst"),
             F.lit(1.0).alias("weight"),
         ),
+        num_partitions=_GRAPH_PARTITIONS,
     )
     return (
         dg.out_degree()
@@ -439,6 +452,7 @@ def q_mono_3cycle(spark, sf_dir):
             F.pmod(F.col("l_partkey") * 7 + F.col("l_suppkey"), F.lit(211)).alias("dst"),
             F.lit(1.0).alias("weight"),
         ).filter(F.col("src") != F.col("dst")),
+        num_partitions=_GRAPH_PARTITIONS,
     )
     emb = subgraph_search(dg, [(0, 1), (1, 2), (2, 0)], induced=False)
     return spark.createDataFrame([(emb.count(),)], "n_embeddings long")
