@@ -1,4 +1,5 @@
 from .events import sessionize, windowed_event_counts
+from .stateful import running_user_stats
 from .triangles import streaming_triangle_count
 
-__all__ = ["windowed_event_counts", "sessionize", "streaming_triangle_count"]
+__all__ = ["windowed_event_counts", "sessionize", "streaming_triangle_count", "running_user_stats"]

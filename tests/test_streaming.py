@@ -93,3 +93,45 @@ def test_streaming_triangle_query(spark, tmp_path):
     q.awaitTermination(120)
     counter = StreamingTriangleCounter(spark, str(tmp_path / "state2"))
     assert counter.total == 2  # triangles {0,1,2} and {0,1,3}
+
+
+def test_stateful_running_user_stats(spark, tmp_path):
+    """applyInPandasWithState custom operator: running per-user stats
+    across two micro-batches, verified against a batch aggregation."""
+    from arkouda_njit_spark.streaming.stateful import running_user_stats
+
+    in_dir = tmp_path / "ev_in"
+    in_dir.mkdir()
+    b1 = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 1.0)], "user_id long, value double"
+    )
+    b1.coalesce(1).write.parquet(str(in_dir / "b1"))
+
+    stream = spark.readStream.schema("user_id long, value double").parquet(
+        str(in_dir) + "/*"
+    )
+    out = running_user_stats(stream)
+    # one continuous query; the second micro-batch arrives mid-stream and
+    # the state must carry over (maxFilesPerTrigger=1 forces two batches)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_stats")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    q.processAllAvailable()
+    b2 = spark.createDataFrame([(1, 20.0), (3, 7.0)], "user_id long, value double")
+    b2.coalesce(1).write.parquet(str(in_dir / "b2"))
+    q.processAllAvailable()
+    q.stop()
+
+    import pandas as pd
+
+    pdf = spark.sql("select * from user_stats").toPandas()
+    # update mode appends one row per key per batch; take the last per user
+    last = pdf.groupby("user_id").tail(1).set_index("user_id")
+    assert tuple(last.loc[1]) == (3, 35.0, 20.0)  # state carried across batches
+    assert tuple(last.loc[3]) == (1, 7.0, 7.0)
+    assert tuple(last.loc[2]) == (1, 1.0, 1.0)
