@@ -458,6 +458,25 @@ def q_mono_3cycle(spark, sf_dir):
     return spark.createDataFrame([(emb.count(),)], "n_embeddings long")
 
 
+def q_jaccard(spark, sf_dir):
+    """Vertex-pair Jaccard on graph B (pairs with >=1 common neighbor,
+    jaccard >= 0.5) — operators.jaccard wedge formulation."""
+    from arkouda_njit_spark.operators import jaccard_coefficients
+
+    g = _graph_b(spark, sf_dir)
+    lab = _labels(g)
+    jc = jaccard_coefficients(g, min_jaccard=0.5)
+    return (
+        jc.join(lab.withColumnRenamed("vid", "u").withColumnRenamed("node", "nu"), "u")
+        .join(lab.withColumnRenamed("vid", "v").withColumnRenamed("node", "nv"), "v")
+        .select(
+            F.col("nu").cast("long").alias("u"),
+            F.col("nv").cast("long").alias("v"),
+            F.round("jaccard", 9).alias("jaccard"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "build_edges": q_build_edges,
@@ -485,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "events_top_users": q_events_top_users,
         "mono_3cycle": q_mono_3cycle,
+        "jaccard": q_jaccard,
         # no-oracle (rows-only) entries:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash": q_simhash,
@@ -824,6 +844,27 @@ SELECT COUNT(*) AS n_embeddings
 FROM de e1 JOIN de e2 ON e1.d = e2.s
            JOIN de e3 ON e2.d = e3.s AND e3.d = e1.s
 WHERE e1.s <> e2.d AND e1.s <> e1.d AND e2.s <> e2.d
+""",
+        "jaccard": """
+WITH
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(l_orderkey % 301, l_partkey % 301) AS u,
+                  GREATEST(l_orderkey % 301, l_partkey % 301) AS v
+  FROM lineitem
+  WHERE l_orderkey % 301 <> l_partkey % 301
+),
+bsym AS MATERIALIZED (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+deg AS MATERIALIZED (SELECT u AS node, COUNT(*) AS d FROM bsym GROUP BY u),
+common AS MATERIALIZED (
+  SELECT s1.v AS a, s2.v AS b, COUNT(*) AS c
+  FROM bsym s1 JOIN bsym s2 ON s1.u = s2.u AND s1.v < s2.v
+  GROUP BY s1.v, s2.v
+)
+SELECT a AS u, b AS v,
+       ROUND(c * 1.0 / (da.d + db.d - c), 9) AS jaccard
+FROM common JOIN deg da ON common.a = da.node
+            JOIN deg db ON common.b = db.node
+WHERE c * 1.0 / (da.d + db.d - c) >= 0.5
 """,
         "events_top_users": """
 WITH totals AS (
