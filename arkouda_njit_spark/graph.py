@@ -126,7 +126,11 @@ class Graph:
             raw = raw.filter(F.col("src") != F.col("dst"))
 
         # Dedup; duplicate weights sum-aggregated — graphclass.py:192-196.
-        dedup = raw.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+        # Persisted: the canonical pair set feeds three consumers (label
+        # extraction, the range-partitioner sampling pass of the dense
+        # remap, and the remap joins) — without it the symmetrize+dedup
+        # shuffle re-executes for each.
+        dedup = raw.groupBy("src", "dst").agg(F.sum("weight").alias("weight")).persist()
 
         # Dense vertex remap, ascending original label — graphclass.py:213-223.
         # Scalable two-pass dense rank (no single-partition window): see
@@ -138,9 +142,18 @@ class Graph:
         )
         vertices = dense_rank_ids(labels, "label", P, out_col="vid")
         vertices = vertices.repartition(P, "vid").persist()
+        n_vertices = vertices.count()
+
+        # Remap joins: the vertex map's size is opaque to Catalyst after the
+        # mapInPandas dense rank, so hint broadcast explicitly while it fits
+        # (sort-merge with a full edge shuffle otherwise — correct at
+        # 10^12-vertex scale, wasteful below it).
+        from .plans.joins import BROADCAST_MAX_VERTICES
 
         vsrc = vertices.select(F.col("label").alias("src"), F.col("vid").alias("_svid"))
         vdst = vertices.select(F.col("label").alias("dst"), F.col("vid").alias("_dvid"))
+        if n_vertices <= BROADCAST_MAX_VERTICES:
+            vsrc, vdst = F.broadcast(vsrc), F.broadcast(vdst)
         remapped = (
             dedup.join(vsrc, "src").join(vdst, "dst")
             .select(
@@ -160,7 +173,11 @@ class Graph:
             .sortWithinPartitions("src", "dst")
             .persist()
         )
-        g = cls(edges, vertices, weighted=weighted, num_partitions=P)
+        edges.count()  # materialize the canonical table once, then free dedup
+        dedup.unpersist()
+        g = cls(
+            edges, vertices, weighted=weighted, num_partitions=P, n_vertices=n_vertices
+        )
         return g
 
     # -- scalars -----------------------------------------------------------
