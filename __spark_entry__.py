@@ -477,6 +477,23 @@ def q_jaccard(spark, sf_dir):
     )
 
 
+def q_clean_corpus(spark, sf_dir):
+    """Corpus-cleaning pipeline (quality + language filter + exact dedup
+    keep-first); the LSH near-dup stage is exercised by the rows-only
+    q_minhash_near_dups entry."""
+    from arkouda_njit_spark.functions import clean_corpus
+
+    docs = _docs(spark, sf_dir)
+    kept = clean_corpus(
+        docs, min_quality=0.5, keep_langs=("en",), with_near_dup=False
+    )
+    return kept.select(
+        F.col("doc_id").cast("long"),
+        F.round("quality", 6).alias("quality"),
+        F.col("lang_pred"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "build_edges": q_build_edges,
@@ -505,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_users": q_events_top_users,
         "mono_3cycle": q_mono_3cycle,
         "jaccard": q_jaccard,
+        "clean_corpus": q_clean_corpus,
         # no-oracle (rows-only) entries:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash": q_simhash,
@@ -865,6 +883,45 @@ SELECT a AS u, b AS v,
 FROM common JOIN deg da ON common.a = da.node
             JOIN deg db ON common.b = db.node
 WHERE c * 1.0 / (da.d + db.d - c) >= 0.5
+""",
+        "clean_corpus": """
+WITH docs AS (SELECT * FROM documents WHERE length(trim(text)) > 0),
+m AS (
+  SELECT doc_id, text,
+         length(text) AS nc,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS nt,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS na,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np,
+         list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+  FROM docs
+),
+scored AS (
+  SELECT doc_id, text,
+    (CASE WHEN nc >= 20 AND nc <= 100000 THEN 0.25 ELSE 0 END) +
+    (CASE WHEN nc > 0 AND na * 1.0 / nc >= 0.6 THEN 0.25 ELSE 0 END) +
+    (CASE WHEN nc > 0 AND np * 1.0 / nc <= 0.1 THEN 0.25 ELSE 0 END) +
+    (CASE WHEN nt > 0 AND nc * 1.0 / nt >= 3 AND nc * 1.0 / nt <= 12
+          THEN 0.25 ELSE 0 END) AS quality,
+    len(list_intersect(t, ['the','and','of','to','in','is','for','with','that','this'])) AS h_en,
+    len(list_intersect(t, ['der','die','das','und','ist','nicht','mit','ein','eine','zu'])) AS h_de,
+    len(list_intersect(t, ['le','la','les','et','est','pour','dans','une','que','des'])) AS h_fr
+  FROM m
+),
+langed AS (
+  SELECT doc_id, text, quality,
+    CASE WHEN GREATEST(h_en, h_de, h_fr) = 0 THEN 'und'
+         WHEN h_de = GREATEST(h_en, h_de, h_fr) THEN 'de'
+         WHEN h_en = GREATEST(h_en, h_de, h_fr) THEN 'en'
+         ELSE 'fr' END AS lang_pred
+  FROM scored
+),
+kept AS (
+  SELECT doc_id, quality, lang_pred,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM langed
+  WHERE quality >= 0.5 AND lang_pred = 'en'
+)
+SELECT doc_id, ROUND(quality, 6) AS quality, lang_pred FROM kept WHERE rn = 1
 """,
         "events_top_users": """
 WITH totals AS (

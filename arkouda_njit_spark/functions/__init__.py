@@ -19,6 +19,7 @@ from .similarity import (
     embedding_near_duplicates,
     with_normalized,
 )
+from .pipeline import clean_corpus, corpus_stats
 from .strings import longest_common_substring, suffix_array
 from .text import (
     bpe_ish_token_count,
@@ -45,6 +46,8 @@ __all__ = [
     "language_id",
     "quality_score",
     "fingerprint",
+    "clean_corpus",
+    "corpus_stats",
     "suffix_array",
     "longest_common_substring",
     "extract_features",

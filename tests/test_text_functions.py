@@ -82,3 +82,23 @@ def test_fingerprint_detects_shared_prefix(spark):
     # same min-shingle iff the minimum md5 shingle is in the shared prefix —
     # deterministic; just assert stability and type
     assert all(len(v) == 32 for v in fps.values())
+
+
+def test_clean_corpus_pipeline(spark):
+    from arkouda_njit_spark.functions import clean_corpus
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog and this is fine for the test"),
+        (1, "the quick brown fox jumps over the lazy dog and this is fine for the test"),  # exact dup
+        (2, "the quick brown fox jumps over the lazy dog and this is fine for the exam"),  # near dup
+        (3, "der Hund ist nicht mit der Katze und das ist ein gutes Beispiel"),  # de
+        (4, "zz"),  # low quality (too short)
+        (5, "an entirely different english document with the required level of quality in this text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = clean_corpus(docs, min_quality=0.5, keep_langs=("en",), near_dup_threshold=0.6)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # 1 drops (exact dup of 0), 2 drops (near dup of 0), 3 drops (de),
+    # 4 drops (quality), 0 and 5 stay
+    assert ids == [0, 5]
+    assert set(kept.columns) >= {"doc_id", "text", "quality", "lang_pred"}
