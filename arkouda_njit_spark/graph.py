@@ -250,6 +250,39 @@ class Graph:
         self.edges.write.mode(mode).parquet(f"{path}/edges")
         self.vertices.write.mode(mode).parquet(f"{path}/vertices")
 
+    def write_bucketed(self, name: str, mode: str = "overwrite") -> None:
+        """Persist as bucketed+sorted catalog tables (`<name>_edges`,
+        `<name>_vertices`): the durable form of the Double-Index layout.
+        Joins/aggregations on ``src`` against the reloaded table need NO
+        exchange (bucket pruning + sorted buckets = the reference's
+        pre-sorted edge list, kept across jobs). Iceberg would serve the
+        same role with snapshot isolation; its jars aren't in this image."""
+        (
+            self.edges.write.mode(mode)
+            .bucketBy(self.num_partitions, "src")
+            .sortBy("src", "dst")
+            .saveAsTable(f"{name}_edges")
+        )
+        (
+            self.vertices.write.mode(mode)
+            .bucketBy(self.num_partitions, "vid")
+            .saveAsTable(f"{name}_vertices")
+        )
+
+    @classmethod
+    def from_table(cls, spark: SparkSession, name: str) -> "Graph":
+        """Reload a bucketed graph; the bucket spec rides along in the
+        catalog, so downstream src-keyed joins skip their shuffle."""
+        edges = spark.table(f"{name}_edges")
+        vertices = spark.table(f"{name}_vertices")
+        # bucket count recorded in the catalog
+        desc = spark.sql(f"DESCRIBE TABLE EXTENDED {name}_edges").collect()
+        buckets = None
+        for r in desc:
+            if r["col_name"] == "Num Buckets":
+                buckets = int(r["data_type"])
+        return cls(edges, vertices, num_partitions=buckets)
+
     @classmethod
     def read(cls, spark: SparkSession, path: str, num_partitions: int | None = None) -> "Graph":
         P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))

@@ -76,3 +76,34 @@ def test_dense_remap_ascending(spark):
     g = Graph.from_edges(spark, [100, 7, 50], [7, 50, 100])
     got = sorted((r["vid"], r["label"]) for r in g.vertices.collect())
     assert got == [(0, 7), (1, 50), (2, 100)]
+
+
+def test_bucketed_table_roundtrip_no_shuffle(spark, tmp_path):
+    """write_bucketed/from_table: reloaded graph answers a src-keyed
+    aggregation with NO exchange before the partial aggregate (the
+    bucketed Double-Index reuse path)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    g = Graph.from_edges(spark, ALGO28_SRC, ALGO28_DST, num_partitions=4)
+    g.write_bucketed("algo28")
+    try:
+        g2 = Graph.read_bucketed(spark, "algo28") if hasattr(Graph, "read_bucketed") else Graph.from_table(spark, "algo28")
+        assert g2.num_partitions == 4
+        assert g2.edges.count() == g.edges.count()
+        agg = g2.edges.groupBy("src").count()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            agg.explain()
+        plan = buf.getvalue()
+        # bucketed scan satisfies the aggregation's distribution: no Exchange
+        assert "Exchange" not in plan, plan
+        # degree results identical to the in-memory graph
+        a = sorted(map(tuple, agg.collect()))
+        b = sorted(map(tuple, g.edges.groupBy("src").count().collect()))
+        assert a == b
+    finally:
+        spark.sql("DROP TABLE IF EXISTS algo28_edges")
+        spark.sql("DROP TABLE IF EXISTS algo28_vertices")
