@@ -494,6 +494,36 @@ def q_clean_corpus(spark, sf_dir):
     )
 
 
+def q_embedding_near_dups_exact(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact (n_planes=0 => single bucket
+    = full pairwise within the subset), cosine >= 0.8 on vec_id < 150."""
+    from arkouda_njit_spark.functions import embedding_near_duplicates
+
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    dim = len(emb.select("embedding").first()[0])
+    return embedding_near_duplicates(
+        emb, dim=dim, threshold=0.8, n_planes=0
+    ).select(
+        F.col("a").cast("long"),
+        F.col("b").cast("long"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+def q_embedding_near_dups_lsh(spark, sf_dir):
+    """Same semantics through the LSH-bucketed scale path (rows-only check:
+    bucket assignment is engine-specific)."""
+    from arkouda_njit_spark.functions import embedding_near_duplicates
+
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return embedding_near_duplicates(emb, dim=dim, threshold=0.9, n_planes=6).select(
+        F.col("a").cast("long"),
+        F.col("b").cast("long"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "build_edges": q_build_edges,
@@ -523,12 +553,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mono_3cycle": q_mono_3cycle,
         "jaccard": q_jaccard,
         "clean_corpus": q_clean_corpus,
+        "embedding_near_dups_exact": q_embedding_near_dups_exact,
         # no-oracle (rows-only) entries:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "media_features": q_media_features,
         "web_pagerank": q_web_pagerank,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
     }
 
 
@@ -922,6 +954,14 @@ kept AS (
   WHERE quality >= 0.5 AND lang_pred = 'en'
 )
 SELECT doc_id, ROUND(quality, 6) AS quality, lang_pred FROM kept WHERE rn = 1
+""",
+        "embedding_near_dups_exact": """
+WITH sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+             FROM embeddings WHERE vec_id < 150)
+SELECT l.vec_id AS a, r.vec_id AS b,
+       ROUND(list_cosine_similarity(l.e, r.e), 6) AS cosine
+FROM sub l JOIN sub r ON l.vec_id < r.vec_id
+WHERE list_cosine_similarity(l.e, r.e) >= 0.8
 """,
         "events_top_users": """
 WITH totals AS (
