@@ -524,6 +524,26 @@ def q_embedding_near_dups_lsh(spark, sf_dir):
     )
 
 
+def q_edge_support(spark, sf_dir):
+    """Per-edge triangle support on graph B — the k-truss peeling kernel's
+    inner computation (TrussMsg.chpl support counts)."""
+    from arkouda_njit_spark.operators.ktruss import _support
+    from arkouda_njit_spark.operators.triangles import _undirected_simple_edges
+
+    g = _graph_b(spark, sf_dir)
+    lab = _labels(g)
+    sup = _support(_undirected_simple_edges(g))
+    return (
+        sup.join(lab.withColumnRenamed("vid", "u").withColumnRenamed("node", "nu"), "u")
+        .join(lab.withColumnRenamed("vid", "v").withColumnRenamed("node", "nv"), "v")
+        .select(
+            F.col("nu").cast("long").alias("u"),
+            F.col("nv").cast("long").alias("v"),
+            F.col("support").cast("long"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "build_edges": q_build_edges,
@@ -554,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard": q_jaccard,
         "clean_corpus": q_clean_corpus,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
+        "edge_support": q_edge_support,
         # no-oracle (rows-only) entries:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash": q_simhash,
@@ -962,6 +983,29 @@ SELECT l.vec_id AS a, r.vec_id AS b,
        ROUND(list_cosine_similarity(l.e, r.e), 6) AS cosine
 FROM sub l JOIN sub r ON l.vec_id < r.vec_id
 WHERE list_cosine_similarity(l.e, r.e) >= 0.8
+""",
+        "edge_support": """
+WITH
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(l_orderkey % 301, l_partkey % 301) AS u,
+                  GREATEST(l_orderkey % 301, l_partkey % 301) AS v
+  FROM lineitem
+  WHERE l_orderkey % 301 <> l_partkey % 301
+),
+tri AS MATERIALIZED (
+  SELECT ab.u AS a, ab.v AS b, ac.v AS c
+  FROM und ab JOIN und ac ON ab.u = ac.u AND ab.v < ac.v
+              JOIN und bc ON bc.u = ab.v AND bc.v = ac.v
+),
+sup AS (
+  SELECT x AS u, y AS v, COUNT(*) AS s FROM (
+    SELECT a AS x, b AS y FROM tri
+    UNION ALL SELECT a, c FROM tri
+    UNION ALL SELECT b, c FROM tri
+  ) GROUP BY x, y
+)
+SELECT und.u, und.v, COALESCE(sup.s, 0) AS support
+FROM und LEFT JOIN sup ON und.u = sup.u AND und.v = sup.v
 """,
         "events_top_users": """
 WITH totals AS (
