@@ -221,6 +221,13 @@ class Graph:
             .orderBy("src_label", "dst_label")
         )
 
+    def has_reversed_arrays(self) -> bool:
+        """Metadata probe parity (graphclass.py:108-114 / GraphInfoMsg.chpl:
+        28-36). Undirected graphs store the symmetric table (both
+        orientations present); DiGraph derives the reverse view on demand —
+        either way the in-edge direction is always answerable."""
+        return True
+
     def density(self) -> float:
         """2m/(n(n-1)) undirected, m/(n(n-1)) directed —
         graphclass.py:104-106 / digraphclass.py:69-71."""

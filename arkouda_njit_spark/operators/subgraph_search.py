@@ -81,6 +81,32 @@ def subgraph_search(
 
     E = graph.edges.select("src", "dst").persist()
 
+    # Degree-based candidate pruning (the reference's vertex validator,
+    # SubgraphSearch.chpl:1106-1118): a graph vertex can only bind pattern
+    # vertex i if its out/in degrees dominate the pattern vertex's.
+    p_out = {i: 0 for i in range(k)}
+    p_in = {i: 0 for i in range(k)}
+    for a, b in pedges:
+        p_out[a] += 1
+        p_in[b] += 1
+    g_out = E.groupBy("src").count().select(
+        F.col("src").alias("vid"), F.col("count").alias("_od")
+    )
+    g_in = E.groupBy("dst").count().select(
+        F.col("dst").alias("vid"), F.col("count").alias("_id")
+    )
+    degs = (
+        graph.vertices.select("vid")
+        .join(g_out, "vid", "left")
+        .join(g_in, "vid", "left")
+        .select(
+            "vid",
+            F.coalesce("_od", F.lit(0)).alias("_od"),
+            F.coalesce("_id", F.lit(0)).alias("_id"),
+        )
+        .persist()
+    )
+
     def edge_table(pi: int, pj: int) -> DataFrame:
         if edge_filter is not None:
             return edge_filter.filter(
@@ -89,9 +115,13 @@ def subgraph_search(
         return E
 
     def vert_table(pi: int) -> DataFrame:
+        pruned = degs.filter(
+            (F.col("_od") >= p_out[pi]) & (F.col("_id") >= p_in[pi])
+        ).select("vid")
         if node_filter is not None:
-            return node_filter.filter(F.col("pv") == pverts[pi]).select("vid")
-        return graph.vertices.select("vid")
+            allowed = node_filter.filter(F.col("pv") == pverts[pi]).select("vid")
+            pruned = pruned.join(allowed, "vid", "left_semi")
+        return pruned
 
     order = _pattern_order(k, pedges)
 
@@ -171,6 +201,8 @@ def subgraph_search(
         if state.isEmpty():
             break
 
+    degs.unpersist()
+    E.unpersist()
     return state.select(*[F.col(f"m{i}").alias(f"g{i}") for i in range(k)])
 
 
