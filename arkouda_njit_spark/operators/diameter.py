@@ -55,37 +55,61 @@ def diameter(graph: Graph, exact: bool = False, bfs_threshold: int = 2500) -> in
 
     exact=False (default) reproduces the reference's convention
     (true diameter − 1 per non-complete component, small-component branch).
+
+    Scale shape: ALL components ≤ ``bfs_threshold`` are measured in ONE
+    grouped-map pass (``groupBy(component).applyInPandas`` — each
+    component's edge list lands in one task, the all-sources BFS runs
+    there), mirroring the reference's per-component dense kernel but
+    parallel across components instead of a sequential driver loop.
+    Components larger than the threshold get the distributed double sweep
+    (componentIter, Diameter.chpl:13-31).
     """
+    import pandas as pd
+
     comps = connected_components(graph).persist()
-    sizes = comps.groupBy("component").agg(F.count("*").alias("size")).collect()
+    sizes = comps.groupBy("component").agg(F.count("*").alias("size"))
     edges = graph.edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
 
-    best = 0
-    for row in sorted(sizes, key=lambda r: -r["size"]):
+    # tag every edge with its component (vertices of one edge share it)
+    tagged = edges.join(
+        comps.withColumnRenamed("vid", "src"), "src"
+    ).join(
+        sizes.filter(F.col("size") <= bfs_threshold), "component", "left_semi"
+    )
+
+    def comp_diameter(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        adj: dict[int, set[int]] = {}
+        for s, d in zip(pdf["src"], pdf["dst"]):
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+        return pd.DataFrame({"component": [key[0]], "d": [_component_diameter_exact(adj)]})
+
+    small = tagged.groupBy("component").applyInPandas(
+        comp_diameter, schema="component long, d long"
+    )
+    if exact:
+        small_best = small.agg(F.max("d")).collect()[0][0]
+    else:
+        # matrix-power branch convention: true−1 for non-complete comps,
+        # complete components (d == 1) contribute nothing
+        small_best = (
+            small.filter(F.col("d") >= 2)
+            .agg(F.max(F.col("d") - 1))
+            .collect()[0][0]
+        )
+    best = int(small_best) if small_best is not None else 0
+
+    big = sizes.filter(F.col("size") > bfs_threshold).collect()
+    for row in sorted(big, key=lambda r: -r["size"]):
         comp, size = row["component"], row["size"]
         if size <= max(2, best):
             continue  # Diameter.chpl:143-146
-        if size <= bfs_threshold:
-            members = {
-                r["vid"] for r in comps.filter(F.col("component") == comp).collect()
-            }
-            local_edges = edges.filter(F.col("src").isin(list(members))).collect()
-            adj: dict[int, set[int]] = {v: set() for v in members}
-            for r in local_edges:
-                adj[r["src"]].add(r["dst"])
-                adj[r["dst"]].add(r["src"])
-            d = _component_diameter_exact(adj)
-            if exact:
-                best = max(best, d)
-            elif d >= 2:
-                best = max(best, d - 1)  # matrix-power branch convention
-        else:
-            # double sweep: BFS from the component label vertex, then from
-            # the farthest vertex found (componentIter, Diameter.chpl:13-31)
-            d1 = bfs_layers(graph, comp, source_is_label=False)
-            far = d1.orderBy(F.desc("depth"), "vid").limit(1).collect()[0]
-            d2 = bfs_layers(graph, far["vid"], source_is_label=False)
-            d = d2.agg(F.max("depth")).collect()[0][0]
-            best = max(best, d)
+        # double sweep: BFS from the component label vertex, then from the
+        # farthest vertex found
+        d1 = bfs_layers(graph, comp, source_is_label=False)
+        far = d1.orderBy(F.desc("depth"), "vid").limit(1).collect()[0]
+        d2 = bfs_layers(graph, far["vid"], source_is_label=False)
+        d = d2.agg(F.max("depth")).collect()[0][0]
+        best = max(best, d)
     comps.unpersist()
     return best
