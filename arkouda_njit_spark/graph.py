@@ -68,8 +68,11 @@ def _as_edge_df(
 class Graph:
     """Undirected (optionally weighted) graph.
 
-    Canonical edge table is symmetric; self-loops are kept (stored once),
-    duplicate-edge weights are summed — reference graphclass.py:182-211.
+    Canonical edge table is symmetric; duplicate-edge weights are summed —
+    reference graphclass.py:182-211. Self-loops are DROPPED by default
+    (the reference's ``add_edges_from(no_self_loops=True)`` default,
+    graphclass.py:154,199-203); pass ``no_self_loops=False`` to keep them
+    (stored once, nx.Graph semantics: a loop contributes 2 to degree).
     """
 
     directed = False
@@ -104,18 +107,31 @@ class Graph:
         wgt: Sequence[float] | None = None,
         num_partitions: int | None = None,
         weighted: bool | None = None,
+        no_self_loops: bool = True,
     ) -> "Graph":
         raw = _as_edge_df(spark, src, dst, wgt)
         if weighted is None:
             weighted = not isinstance(src, DataFrame) and wgt is not None
-        return cls._build(spark, raw, weighted, num_partitions)
+        return cls._build(spark, raw, weighted, num_partitions, no_self_loops)
 
     @classmethod
-    def _build(cls, spark, raw: DataFrame, weighted: bool, num_partitions: int | None):
+    def _build(
+        cls,
+        spark,
+        raw: DataFrame,
+        weighted: bool,
+        num_partitions: int | None,
+        no_self_loops: bool = True,
+    ):
         P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
         if not cls.directed:
-            # Symmetrize (concat both orientations — graphclass.py:182-183);
-            # self-loops stay, appearing once after dedup.
+            # Reference default drops self-loops (graphclass.py:199-203);
+            # with no_self_loops=False a loop survives dedup once (its
+            # symmetrized duplicate collapses) but the weight doubles under
+            # symmetrize+sum — matching the reference's False branch.
+            if no_self_loops:
+                raw = raw.filter(F.col("src") != F.col("dst"))
+            # Symmetrize (concat both orientations — graphclass.py:182-183).
             raw = raw.unionAll(
                 raw.select(
                     F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"

@@ -199,6 +199,11 @@ def subgraph_search(
         state = ext.localCheckpoint(eager=True)
         bound.append(vi)
         if state.isEmpty():
+            # No partial embeddings survive: bind the remaining pattern
+            # vertices as typed nulls so the final select resolves (the
+            # result is still an empty DataFrame with the full schema).
+            for vj in order[len(bound):]:
+                state = state.withColumn(f"m{vj}", F.lit(None).cast("long"))
             break
 
     degs.unpersist()

@@ -87,6 +87,12 @@ def well_connected_components(
     the output are dense ranks of each emitted cluster's minimum vertex.
     """
     criterion = CRITERIA[connectedness_criterion]
+    if connectedness_criterion == "mult" and mult_value is None:
+        # floor(0*n)=0 would silently declare every cluster well-connected
+        raise ValueError(
+            "connectedness_criterion='mult' requires mult_value "
+            "(reference WellConnectedComponents.chpl:63-66)"
+        )
     mult = mult_value if mult_value is not None else 0.0
     post_min = post_filter_min_size
     pre_min = pre_filter_min_size
@@ -120,11 +126,13 @@ def well_connected_components(
         return pd.DataFrame(rows)
 
     raw = intra.groupBy("cluster").applyInPandas(run, schema=out_schema)
-    # dense final ids by ascending cluster-min (deterministic)
-    from pyspark.sql import Window
+    # dense final ids by ascending cluster-min — two-pass dense rank, NOT a
+    # global window (a no-partitionBy Window serializes through one task)
+    from ..plans.partitioning import dense_rank_ids
 
-    ids = raw.select("cluster_min").distinct().withColumn(
-        "cluster", F.row_number().over(Window.orderBy("cluster_min")) - 1
+    P = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ids = dense_rank_ids(
+        raw.select("cluster_min").distinct(), "cluster_min", P, out_col="cluster"
     )
     return raw.join(ids, "cluster_min").select(
         F.col("vertex"), F.col("cluster").cast("long")

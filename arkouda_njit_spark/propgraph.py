@@ -24,6 +24,21 @@ from pyspark.sql import functions as F
 from .graph import DiGraph
 
 
+def _dedup_first_of_group(
+    df: DataFrame, keys: list[str], attr_cols: list[str]
+) -> DataFrame:
+    """One deterministic representative row per key group: min over the
+    struct of all attribute columns (partition-invariant, unlike
+    ``F.first``). Mirrors the reference's first-of-sorted-GroupBy
+    determinism (propgraphclass.py:425-428)."""
+    if not attr_cols:
+        return df.select(*keys).distinct()
+    agg = df.groupBy(*keys).agg(F.min(F.struct(*attr_cols)).alias("_rep"))
+    return agg.select(
+        *keys, *[F.col("_rep").getField(c).alias(c) for c in attr_cols]
+    )
+
+
 class PropGraph(DiGraph):
     """Directed property graph (reference: PropGraph inherits DiGraph)."""
 
@@ -51,12 +66,13 @@ class PropGraph(DiGraph):
             destination_column, "dst"
         )
         named = named.filter(F.col("src") != F.col("dst"))
-        # keep one attribute row per (src,dst) — GroupBy.permutation[segments]
-        # "first of group" semantics (propgraphclass.py:425-428)
+        # keep one attribute row per (src,dst) — the reference keeps the first
+        # row of a *sorted* GroupBy (propgraphclass.py:425-428), i.e. a
+        # deterministic representative. F.first() in Spark is task-order
+        # dependent, so take min over the struct of all attribute columns:
+        # partition-invariant and run-to-run stable.
         attr_cols = [c for c in named.columns if c not in ("src", "dst")]
-        dedup = named.groupBy("src", "dst").agg(
-            *[F.first(c).alias(c) for c in attr_cols]
-        )
+        dedup = _dedup_first_of_group(named, ["src", "dst"], attr_cols)
         base = DiGraph.from_edges(
             spark,
             dedup.select(
@@ -83,8 +99,8 @@ class PropGraph(DiGraph):
         """propgraphclass.py:190-288 (dedup per node, first row wins)."""
         named = df.withColumnRenamed(node_column, "nodes")
         attr_cols = [c for c in named.columns if c != "nodes"]
-        self.node_attributes = named.groupBy("nodes").agg(
-            *[F.first(c).alias(c) for c in attr_cols]
+        self.node_attributes = _dedup_first_of_group(
+            named, ["nodes"], attr_cols
         ).persist()
         self._label_columns = list(label_columns or [])
 

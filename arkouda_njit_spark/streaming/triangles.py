@@ -70,39 +70,78 @@ def _delta_triangles(batch: DataFrame, state: DataFrame) -> int:
 
 
 class StreamingTriangleCounter:
-    """foreachBatch sink maintaining an edge-set state dir + running count."""
+    """foreachBatch sink maintaining an edge-set state dir + running count.
+
+    Exactly-once discipline: each batch writes its new edge set to a fresh
+    sequence-numbered directory, then atomically promotes it by
+    ``os.replace``-ing a single ``manifest.json`` that holds BOTH the state
+    pointer and the running count (so they can never diverge after a
+    crash). Replayed epochs (foreachBatch redelivery after failure) are
+    skipped idempotently via the last-applied ``epoch`` in the manifest."""
 
     def __init__(self, spark: SparkSession, state_dir: str):
         self.spark = spark
         self.state_dir = state_dir
-        self.edges_path = os.path.join(state_dir, "edges")
-        self.count_path = os.path.join(state_dir, "count.json")
+        self.manifest_path = os.path.join(state_dir, "manifest.json")
         os.makedirs(state_dir, exist_ok=True)
+
+    def _manifest(self) -> dict:
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                return json.load(f)
+        return {"triangles": 0, "epoch": None, "edges_dir": None, "seq": 0}
+
+    def _promote(self, manifest: dict) -> None:
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self.manifest_path)  # atomic on POSIX
 
     @property
     def total(self) -> int:
-        if os.path.exists(self.count_path):
-            with open(self.count_path) as f:
-                return json.load(f)["triangles"]
-        return 0
+        return self._manifest()["triangles"]
 
     def _state(self) -> DataFrame:
-        if os.path.exists(os.path.join(self.edges_path, "_SUCCESS")):
-            return self.spark.read.parquet(self.edges_path)
+        m = self._manifest()
+        if m["edges_dir"]:
+            return self.spark.read.parquet(
+                os.path.join(self.state_dir, m["edges_dir"])
+            )
         return self.spark.createDataFrame([], "u long, v long")
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int | None = None) -> int:
+        m = self._manifest()
+        if (
+            epoch_id is not None
+            and m["epoch"] is not None
+            and epoch_id <= m["epoch"]
+        ):
+            # replayed epoch after a failure: already applied, skip
+            return m["triangles"]
         batch = _canon(batch_df).localCheckpoint(eager=True)
         state = self._state().localCheckpoint(eager=True)
         fresh = batch.join(state, ["u", "v"], "left_anti").localCheckpoint(eager=True)
         if fresh.isEmpty():
-            return self.total
+            if epoch_id is not None:
+                self._promote({**m, "epoch": epoch_id})
+            return m["triangles"]
         delta = _delta_triangles(fresh, state)
-        new_state = state.unionAll(fresh)
-        new_state.write.mode("overwrite").parquet(self.edges_path)
-        total = self.total + delta
-        with open(self.count_path, "w") as f:
-            json.dump({"triangles": total, "epoch": epoch_id}, f)
+        seq = m.get("seq", 0) + 1
+        new_dir = f"edges_{seq:08d}"
+        state.unionAll(fresh).write.mode("overwrite").parquet(
+            os.path.join(self.state_dir, new_dir)
+        )
+        total = m["triangles"] + delta
+        self._promote(
+            {"triangles": total, "epoch": epoch_id, "edges_dir": new_dir, "seq": seq}
+        )
+        # best-effort cleanup of the superseded state dir
+        if m["edges_dir"]:
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(self.state_dir, m["edges_dir"]), ignore_errors=True
+            )
         return total
 
 

@@ -55,10 +55,22 @@ def python_pagerank(nxg, alpha=0.85, tol=1e-6, weight=None, max_iter=100):
     return x
 
 
-def nx_graph(src, dst, wgt=None, directed=False):
+def nx_graph(src, dst, wgt=None, directed=False, no_self_loops=True):
+    """nx oracle matching the engine's defaults: self-loop edges are
+    filtered from the input arrays BEFORE construction (reference
+    graphclass.py:199-203 default), so loop-only vertices vanish too."""
     import networkx as nx
 
     g = nx.DiGraph() if directed else nx.Graph()
+    if no_self_loops:
+        triples = [
+            (s, d, 1.0 if wgt is None else w)
+            for s, d, w in zip(src, dst, wgt or [1.0] * len(src))
+            if s != d
+        ]
+        src = [t[0] for t in triples]
+        dst = [t[1] for t in triples]
+        wgt = None if wgt is None else [t[2] for t in triples]
     if wgt is None:
         g.add_edges_from(zip(src, dst))
     else:

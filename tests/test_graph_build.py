@@ -34,11 +34,29 @@ def test_counts_directed(gs):
 def test_nodes_and_edge_list(gs):
     g, dg, nxg, nxdg = gs
     assert [r["label"] for r in g.nodes().collect()] == sorted(nxg.nodes())
-    # symmetric list counts each non-loop edge twice, self-loop once
-    # (class_test.py:112-116)
-    n_sym = g.edges.count()
-    assert n_sym == 2 * nxg.size() - nx.number_of_selfloops(nxg)
+    # symmetric list counts each edge twice (self-loops dropped by default —
+    # graphclass.py:154,199-203)
+    assert g.edges.count() == 2 * nxg.size()
     assert dg.edges.count() == nxdg.size()
+
+
+def test_self_loops_kept_when_flagged(spark):
+    """no_self_loops=False: loop stored once, weight doubled by
+    symmetrize+sum (reference's False branch, graphclass.py:204-211)."""
+    g = Graph.from_edges(
+        spark, [1, 1, 2], [2, 1, 2], [1.0, 3.0, 5.0], no_self_loops=False
+    )
+    labels = {r["label"]: r["vid"] for r in g.vertices.collect()}
+    rows = {(r["src"], r["dst"]): r["weight"] for r in g.edges.collect()}
+    assert (labels[1], labels[1]) in rows  # loop kept, once
+    assert rows[(labels[1], labels[1])] == 6.0  # doubled
+    assert g.n_edges == 3  # (1,2), (1,1), (2,2)
+    # default drops both loops and the loop-only weight
+    g2 = Graph.from_edges(spark, [1, 1, 2], [2, 1, 2], [1.0, 3.0, 5.0])
+    assert g2.n_edges == 1
+    # degree counts a loop twice (nx semantics)
+    deg = {r["vid"]: r["degree"] for r in g.degree().collect()}
+    assert deg[labels[1]] == 3  # edge to 2 + loop×2
 
 
 def test_density(gs):

@@ -76,6 +76,31 @@ def test_streaming_triangle_count_incremental(spark, tmp_path):
     assert t3 == t2
 
 
+def test_streaming_triangle_epoch_replay_idempotent(spark, tmp_path):
+    """A redelivered foreachBatch epoch (crash replay) is skipped via the
+    manifest's last-applied epoch — even if the batch contents would
+    otherwise change the count (ADVICE r1, medium)."""
+    counter = StreamingTriangleCounter(spark, str(tmp_path / "state_ep"))
+    df1 = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    t1 = counter.process_batch(df1, epoch_id=0)
+    assert t1 == 1
+    # replay epoch 0 with different edges: must be a no-op
+    df_replay = spark.createDataFrame([(0, 3), (1, 3)], "src long, dst long")
+    assert counter.process_batch(df_replay, epoch_id=0) == 1
+    assert counter.total == 1
+    # next epoch applies normally
+    t2 = counter.process_batch(df_replay, epoch_id=1)
+    assert t2 == 2  # {0,1,3} closes
+    # state and count live in ONE atomically-replaced manifest
+    import json
+    import os
+
+    with open(counter.manifest_path) as f:
+        m = json.load(f)
+    assert m["triangles"] == 2 and m["epoch"] == 1 and m["edges_dir"]
+    assert os.path.exists(os.path.join(counter.state_dir, m["edges_dir"], "_SUCCESS"))
+
+
 def test_streaming_triangle_query(spark, tmp_path):
     """End-to-end: file-source stream -> foreachBatch counter."""
     src_dir = tmp_path / "edges_in"

@@ -74,6 +74,19 @@ def test_triangle_pattern_multiple_graphs(spark):
     assert got == _nx_iso_count(gsrc, gdst, [0, 1, 2], [1, 2, 0])
 
 
+def test_no_match_empty_mid_search(spark):
+    # Regression: state empties before the last pattern vertex is bound —
+    # must return an empty DataFrame with the full g0..g{k-1} schema, not
+    # crash with UNRESOLVED_COLUMN (ADVICE r1, high).
+    g = DiGraph.from_edges(spark, [0], [1])  # single edge 0->1
+    out = subgraph_search(g, [(0, 1), (1, 2)])  # path 0->1->2: no match
+    assert out.columns == ["g0", "g1", "g2"]
+    assert out.count() == 0
+    h = DiGraph.from_edges(spark, [0, 1], [1, 2])
+    assert subgraph_isomorphism(g, h, return_count=True) == 0
+    assert subgraph_monomorphism(g, h, return_count=True) == 0
+
+
 def test_attribute_matching(spark):
     # two labeled triangles; pattern requires label 'x' on all vertices —
     # only the x-triangle matches

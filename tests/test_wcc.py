@@ -68,6 +68,15 @@ def test_wcc_prefilter_drops_small_clusters(spark):
     assert got2.count() == 5  # K5 is well-connected (cut 4 > log10(5)=0)
 
 
+def test_wcc_mult_requires_value(spark):
+    # 'mult' with no mult_value would make the criterion floor(0*n)=0 —
+    # a silent wrong answer; must raise instead (ADVICE r1, low)
+    edf = spark.createDataFrame([(0, 1)], "src long, dst long")
+    cdf = spark.createDataFrame([(0, 1), (1, 1)], "node long, cluster long")
+    with pytest.raises(ValueError, match="mult_value"):
+        well_connected_components(edf, cdf, connectedness_criterion="mult")
+
+
 @pytest.mark.skipif(not os.path.isdir(WCC_DATA), reason="reference data absent")
 def test_wcc_reference_fixture(spark):
     edges = read_tsv_file(spark, f"{WCC_DATA}/test_network_simple_1.tsv", only_edges=True)
