@@ -100,18 +100,58 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.0,
     candidates: DataFrame | None = None,
+    max_shingle_df: int | None = None,
+    fanout_limit: int = 10**9,
 ) -> DataFrame:
     """(a, b, jaccard) over distinct doc pairs sharing >=1 shingle
     (optionally restricted to an LSH candidate pair set).
 
     jaccard = |S(a) ∩ S(b)| / (|S(a)| + |S(b)| − |∩|) via an inverted-index
-    self-join on the shingle — never a cross join."""
+    self-join on the shingle — never a cross join.
+
+    Guard rails for the no-``candidates`` path (its fan-out is
+    Σ_sh df(sh)², which explodes on a stop-word-like shingle shared by
+    every document): if the estimated fan-out exceeds ``fanout_limit`` a
+    ValueError tells the caller to pass ``candidates`` (LSH) or set
+    ``max_shingle_df``. With ``max_shingle_df`` set, shingles whose
+    document frequency exceeds it are excluded from *pair generation*
+    only; surviving pairs are then scored with their EXACT jaccard over
+    all shingles (two-phase), so values are unchanged — only pairs whose
+    every shared shingle is ultra-common are missed (by design)."""
     ex = (
         df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("sh"))
         .distinct()
         .persist()
     )
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("sz"))
+    if candidates is None:
+        dfreq = ex.groupBy("sh").agg(F.count("*").alias("df"))
+        if max_shingle_df is not None:
+            gen = ex.join(
+                dfreq.filter(F.col("df") <= max_shingle_df).select("sh"),
+                "sh",
+                "left_semi",
+            )
+            candidates = (
+                gen.select(F.col(id_col).alias("a"), "sh")
+                .join(gen.select(F.col(id_col).alias("b"), "sh"), "sh")
+                .filter(F.col("a") < F.col("b"))
+                .select("a", "b")
+                .distinct()
+            )
+        else:
+            fanout = dfreq.agg(
+                F.sum(F.col("df").cast("double") * F.col("df")).alias("f")
+            ).collect()[0]["f"]
+            if fanout is not None and fanout > fanout_limit:
+                ex.unpersist()
+                raise ValueError(
+                    f"ngram_jaccard_pairs without candidates: inverted-index "
+                    f"fan-out ~{fanout:.3g} rows exceeds fanout_limit="
+                    f"{fanout_limit}. Pass candidates= (e.g. from "
+                    f"minhash_lsh_candidates) or set max_shingle_df to cap "
+                    f"hot shingles."
+                )
     if candidates is not None:
         # Enumerate shingles of candidate pairs ONLY: candidates ⋈ shingles(a)
         # ⋈ shingles(b) on equality — never the full inverted-index self-join

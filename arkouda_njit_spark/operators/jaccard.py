@@ -8,6 +8,17 @@ Spark formulation: common-neighbor counts from a wedge self-join on the
 middle vertex (only pairs with ≥1 common neighbor have a non-zero Jaccard,
 so the output is the sparse set the dense array wastes space on), degrees
 from one aggregation, everything map-side combined.
+
+Scale shape (north rule / power-law hubs): the all-pairs output is
+inherently Σ_m C(deg(m), 2) rows — at web scale you pass ``candidates``
+(the pairs you actually want scored, e.g. from an LSH banding pass, the
+same pattern as functions/dedup.ngram_jaccard_pairs) and the plan becomes
+a candidates ⋈ adjacency ⋈ adjacency count with fan-out Σ_cand deg(u).
+Without candidates, the wedge self-join is still computed, but middles
+whose degree exceeds ``hub_threshold`` are two-sided salted: the hot
+middle's leg pairs are spread over ``salt_buckets²`` reducer cells instead
+of one straggler task (a 10⁶-degree hub's 10¹² wedge rows never pass
+through a single key).
 """
 
 from __future__ import annotations
@@ -19,22 +30,69 @@ from ..graph import Graph
 from .triangles import _undirected_simple_edges
 
 
-def jaccard_coefficients(graph: Graph, min_jaccard: float = 0.0) -> DataFrame:
-    """(u, v, jaccard) for all u<v pairs with at least one common neighbor."""
+def jaccard_coefficients(
+    graph: Graph,
+    min_jaccard: float = 0.0,
+    candidates: DataFrame | None = None,
+    hub_threshold: int = 10_000,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """(u, v, jaccard) for u<v pairs with at least one common neighbor.
+
+    ``candidates``: optional (u, v) pairs to score — the 100 TB path; all
+    other pairs are skipped and the wedge self-join is avoided entirely.
+    """
     und = _undirected_simple_edges(graph)
     sym = und.select(F.col("u").alias("mid"), F.col("v").alias("end")).unionAll(
         und.select(F.col("v").alias("mid"), F.col("u").alias("end"))
     )
     deg = sym.groupBy("end").agg(F.count("*").alias("deg")).withColumnRenamed("end", "vid")
 
-    w1 = sym.select("mid", F.col("end").alias("a"))
-    w2 = sym.select("mid", F.col("end").alias("b"))
-    common = (
-        w1.join(w2, "mid")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("common"))
-    )
+    if candidates is not None:
+        # canonicalize u<v, then count shared middles per requested pair
+        cand = candidates.select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        ).distinct()
+        adj_a = sym.select(F.col("end").alias("a"), "mid")
+        adj_b = sym.select(F.col("end").alias("b"), "mid")
+        common = (
+            cand.join(adj_a, "a")
+            .join(adj_b, ["b", "mid"])
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("common"))
+        )
+    else:
+        dm = deg.select(F.col("vid").alias("mid"), F.col("deg").alias("dm"))
+        legs = sym.join(dm, "mid")
+        cold = legs.filter(F.col("dm") <= hub_threshold).select("mid", "end")
+        hot = legs.filter(F.col("dm") > hub_threshold).select("mid", "end")
+
+        w1c = cold.select("mid", F.col("end").alias("a"))
+        w2c = cold.select("mid", F.col("end").alias("b"))
+        wedges_cold = w1c.join(w2c, "mid").filter(F.col("a") < F.col("b"))
+
+        # hot middles: spread the per-key cross product over salt_buckets
+        # cells by salting the right leg and replicating the left leg
+        S = salt_buckets
+        w2h = hot.select(
+            "mid",
+            F.col("end").alias("b"),
+            F.pmod(F.xxhash64("end"), F.lit(S)).alias("_sb"),
+        )
+        w1h = hot.select("mid", F.col("end").alias("a")).withColumn(
+            "_sb", F.explode(F.array(*[F.lit(i) for i in range(S)]))
+        )
+        wedges_hot = (
+            w1h.join(w2h, ["mid", "_sb"]).filter(F.col("a") < F.col("b"))
+            .select("mid", "a", "b")
+        )
+        common = (
+            wedges_cold.select("a", "b")
+            .unionAll(wedges_hot.select("a", "b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("common"))
+        )
+
     da = deg.select(F.col("vid").alias("a"), F.col("deg").alias("da"))
     db = deg.select(F.col("vid").alias("b"), F.col("deg").alias("db"))
     out = (

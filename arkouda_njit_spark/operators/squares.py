@@ -1,21 +1,31 @@
-"""Square (4-cycle) counting.
+"""Square (4-cycle) counting — hub-safe Chiba–Nishizeki formulation.
 
 Reference kernel: Chiba-Nishizeki-style sequential counter with a
 total-degree vertex order — /root/reference/arachne/server/SquareCount.chpl:24-77
-(client methods.py:224-252).
+(client methods.py:224-252). The reference processes vertices in
+DECREASING total-degree order, counting wedges only into not-yet-processed
+(lower-ranked) vertices.
 
-Spark formulation (combinatorial identity instead of the sequential L
-counter): every 4-cycle u-v-w-x has exactly two diagonal pairs {u,w},{v,x};
-for an unordered pair {a,b} with c = |N(a)∩N(b)| common neighbors there are
-C(c,2) cycles having {a,b} as a diagonal. Hence
+Spark formulation of the same ordering. Fix a total order ≺ by
+(degree DESC, vid ASC) — "v ≺ u" means v is processed before u. Every
+4-cycle has a unique first-processed vertex f; the cycle's diagonal
+containing f is {f, o} and its two middles are f's cycle-neighbors, both
+processed after f. Hence
 
-    squares = (1/2) * Σ_{a<b} C(common(a,b), 2)
+    squares = Σ_{(v,w): v ≺ w}  C(c_vw, 2)
 
-computed as a wedge self-join on the middle vertex + a count aggregation.
-The wedge join fans out quadratically at hub middles; we orient the wedge
-enumeration by the reference's degree order (SquareCount.chpl:24-28) only in
-the sense that counting is per unordered endpoint pair, which Spark
-pre-aggregates map-side.
+where c_vw = |{common neighbors m of v,w with v ≺ m}| — each square is
+counted exactly once, at its first vertex v (the later diagonal {b,d}
+contributes nothing because one of ITS middles is v itself, which is not
+after b).
+
+Scale shape: the wedge enumeration joins legs (m → v) restricted to
+v ≺ m with unrestricted legs (m → w). The restricted side is the
+lo→hi degree orientation's out-edges (operators/triangles.oriented_edges
+bound): every middle m has ≤ O(√m_edges) processed-before neighbors, so
+the per-middle fan-out is O(√m_edges · deg(m)) and the total is the
+Chiba–Nishizeki O(m^1.5) — a 10⁶-degree hub no longer yields deg² wedges
+(the unoriented self-join's failure mode at 100×).
 """
 
 from __future__ import annotations
@@ -31,11 +41,36 @@ def squares(graph: Graph) -> int:
     sym = und.select(F.col("u").alias("mid"), F.col("v").alias("end")).unionAll(
         und.select(F.col("v").alias("mid"), F.col("u").alias("end"))
     )
-    w1 = sym.select("mid", F.col("end").alias("a"))
-    w2 = sym.select("mid", F.col("end").alias("b"))
-    wedges = w1.join(w2, "mid").filter(F.col("a") < F.col("b"))
+    deg = sym.groupBy("mid").agg(F.count("*").alias("d")).select(
+        F.col("mid").alias("vid"), "d"
+    )
+    # adjacency legs with both endpoints' degrees attached
+    adj = (
+        sym.join(deg.select(F.col("vid").alias("mid"), F.col("d").alias("dm")), "mid")
+        .join(deg.select(F.col("vid").alias("end"), F.col("d").alias("de")), "end")
+        .select("mid", "end", "dm", "de")
+    )
+
+    def before(d1, v1, d2, v2):
+        # (deg DESC, vid ASC) processing order — SquareCount.chpl:24-28
+        return (F.col(d1) > F.col(d2)) | (
+            (F.col(d1) == F.col(d2)) & (F.col(v1) < F.col(v2))
+        )
+
+    # restricted legs: endpoint v processed BEFORE the middle (this is the
+    # small side — O(sqrt m) per middle under degree ordering)
+    w1 = adj.filter(before("de", "end", "dm", "mid")).select(
+        "mid", F.col("end").alias("a"), F.col("de").alias("da")
+    )
+    # unrestricted legs
+    w2 = adj.select("mid", F.col("end").alias("b"), F.col("de").alias("db"))
+    wedges = (
+        w1.join(w2, "mid")
+        .filter(before("da", "a", "db", "b"))  # v ≺ w (also excludes a==b)
+        .select("a", "b")
+    )
     counts = wedges.groupBy("a", "b").agg(F.count("*").alias("c"))
     total = counts.agg(
         F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("s")
     ).collect()[0]["s"]
-    return int(total or 0) // 2
+    return int(total or 0)

@@ -118,3 +118,34 @@ def triangle_total_reference(graph: Graph) -> int:
     """The reference's ``ar.triangles(graph)`` scalar: sum of per-vertex
     counts = 3 × distinct triangles (methods.py:173-222)."""
     return 3 * triangle_count(graph)
+
+
+def triangles(graph: Graph, vertices: list[int] | None = None):
+    """``ar.triangles`` parity (methods.py:174-222): with no ``vertices``,
+    the reference total (3 × distinct). With ``vertices`` (original
+    *labels*), per-vertex counts **in the caller's input order**, labels
+    not present in the graph dropped (the reference's ``ak.find`` +
+    ``-1``-mask step). Returns (pos, node, triangles): pos = position in
+    the filtered input list."""
+    if vertices is None:
+        return triangle_total_reference(graph)
+    spark = graph.spark
+    req = spark.createDataFrame(
+        [(i, int(lab)) for i, lab in enumerate(vertices)], "in_pos long, node long"
+    )
+    # label -> vid; labels not found drop out of the inner join
+    found = req.join(
+        graph.vertices.select(F.col("label").alias("node"), "vid"), "node"
+    )
+    counts = triangles_per_vertex(graph).withColumnRenamed("triangles", "t")
+    got = found.join(counts, "vid", "left").select(
+        "in_pos", "node", F.coalesce("t", F.lit(0)).alias("triangles")
+    )
+    # re-number positions after the not-found drop (reference filters the
+    # vertices array, so the output aligns with the SURVIVING labels)
+    from ..plans.partitioning import dense_rank_ids
+
+    pos = dense_rank_ids(
+        got.select("in_pos").distinct(), "in_pos", graph.num_partitions, out_col="pos"
+    )
+    return got.join(pos, "in_pos").select("pos", "node", "triangles")

@@ -119,13 +119,14 @@ def extract_links(pages: DataFrame) -> DataFrame:
 
         pat = re.compile(r'<a\s+href="([^"]+)"')
         for pdf in batches:
-            html = pdf["html"].apply(lambda b: b.decode("utf-8", "replace"))
-            rows = {"url": [], "href": []}
-            for url, doc in zip(pdf["url"], html):
-                for m in pat.findall(doc):
-                    rows["url"].append(url)
-                    rows["href"].append(m)
-            yield pd.DataFrame(rows, columns=["url", "href"])
+            # fully vectorized pandas C paths: decode → findall → explode
+            # (no per-row Python loop — input_hint requirement)
+            html = pdf["html"].str.decode("utf-8", errors="replace")
+            out = pd.DataFrame(
+                {"url": pdf["url"], "href": html.str.findall(pat)}
+            ).explode("href")
+            out = out.dropna(subset=["href"])
+            yield out[["url", "href"]]
 
     return pages.select("url", "html").mapInPandas(extract, schema=_HREF_SCHEMA)
 

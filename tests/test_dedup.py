@@ -59,6 +59,31 @@ def test_ngram_jaccard_matches_python(corpus):
             assert (a, b) not in got
 
 
+def test_ngram_jaccard_fanout_guard(spark):
+    """No-candidates path on a corpus with a universal shingle: refuses
+    (fanout_limit) instead of exploding; max_shingle_df caps generation but
+    keeps exact jaccard values for surviving pairs (VERDICT r1 #3)."""
+    common = "shared shingle everywhere"
+    docs = [(i, f"{common} unique{i} tail{i} extra{i}") for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    with pytest.raises(ValueError, match="fanout_limit"):
+        ngram_jaccard_pairs(df, fanout_limit=10)
+    # df-cap path: the universal shingle never generates pairs; docs share
+    # ONLY it, so no pairs survive — and it completes instead of exploding
+    out = ngram_jaccard_pairs(df, max_shingle_df=1, fanout_limit=10)
+    assert out.count() == 0
+    # pairs that also share a rare shingle keep their EXACT jaccard
+    docs2 = docs + [(100, f"{common} unique0 tail0 different end")]
+    df2 = spark.createDataFrame(docs2, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df2, max_shingle_df=2, fanout_limit=10).collect()
+    }
+    texts = dict(docs2)
+    assert (0, 100) in got
+    assert got[(0, 100)] == pytest.approx(_jaccard(texts[0], texts[100]))
+
+
 def test_minhash_lsh_finds_near_dups(corpus):
     pairs = {
         (r["a"], r["b"]): r["jaccard"]

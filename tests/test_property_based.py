@@ -33,7 +33,7 @@ SLOW = settings(
 @SLOW
 def test_cc_random(spark, edges):
     g = Graph.from_edges(spark, [a for a, _ in edges], [b for _, b in edges])
-    nxg = nx.Graph(edges)
+    nxg = nx.Graph([(a, b) for a, b in edges if a != b])  # engine drops loops
     vid_to_label = {r["vid"]: r["label"] for r in g.vertices.collect()}
     got = {}
     for r in connected_components(g).collect():
@@ -79,7 +79,7 @@ def test_squares_random(spark, edges):
 @SLOW
 def test_pagerank_random(spark, edges):
     g = Graph.from_edges(spark, [a for a, _ in edges], [b for _, b in edges])
-    nxg = nx.Graph(edges)
+    nxg = nx.Graph([(a, b) for a, b in edges if a != b])  # engine drops loops
     expected = python_pagerank(nxg, alpha=0.85, tol=1e-6)
     vid_to_label = {r["vid"]: r["label"] for r in g.vertices.collect()}
     for r in pagerank(g).collect():

@@ -43,3 +43,26 @@ def test_triangles_subset(spark):
     }
     expected = nx.triangles(nxg, nodes)
     assert got == {label_to_vid[n]: c for n, c in expected.items()}
+
+
+def test_triangles_label_order_parity(spark):
+    """ar.triangles(graph, vertices) parity (methods.py:174-222 /
+    algorithm_test.py:118-134): labels in, counts out in INPUT order;
+    unknown labels dropped like the reference's ak.find -1 mask."""
+    from arkouda_njit_spark.operators.triangles import triangles
+
+    graph = Graph.from_edges(spark, ALGO28_SRC, ALGO28_DST)
+    nxg = nx_graph(ALGO28_SRC, ALGO28_DST)
+    nodes = [4, 0, 3, 2]  # deliberately not sorted
+    rows = sorted(triangles(graph, nodes).collect(), key=lambda r: r["pos"])
+    assert [r["node"] for r in rows] == nodes
+    want = nx.triangles(nxg, nodes)
+    assert [r["triangles"] for r in rows] == [want[n] for n in nodes]
+    # unknown label dropped, positions re-numbered over survivors
+    rows2 = sorted(
+        triangles(graph, [4, 999999, 0]).collect(), key=lambda r: r["pos"]
+    )
+    assert [r["node"] for r in rows2] == [4, 0]
+    assert [r["pos"] for r in rows2] == [0, 1]
+    # no vertices: the reference scalar (3 x distinct)
+    assert triangles(graph) == 3 * sum(nx.triangles(nxg).values()) // 3
