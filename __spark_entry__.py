@@ -544,6 +544,157 @@ def q_edge_support(spark, sf_dir):
     )
 
 
+def _graph_c(spark: SparkSession, sf_dir: str) -> Graph:
+    """Sparser mod-1201 graph (avg degree ~96 at sf0.01): k-truss peeling
+    actually removes edges here, unlike the near-complete graph B."""
+    key = ("c", sf_dir)
+    if key not in _CACHE:
+        li = _read(spark, sf_dir, "lineitem")
+        raw = li.select(
+            F.pmod(F.col("l_orderkey"), F.lit(1201)).alias("src"),
+            F.pmod(F.col("l_partkey") * 7 + F.col("l_suppkey"), F.lit(1201)).alias("dst"),
+            F.lit(1.0).alias("weight"),
+        ).filter(F.col("src") != F.col("dst"))
+        _CACHE[key] = Graph.from_edges(spark, raw, num_partitions=_GRAPH_PARTITIONS)
+    return _CACHE[key]
+
+
+def q_ktruss5(spark, sf_dir):
+    """k_truss(graph_c, 5): per-edge -1 (survives) / 4 (peeled) — the
+    reference output convention (TrussMsg.chpl:128-617, methods.py:278-318);
+    oracle = unrolled support-peel rounds to fixpoint."""
+    from arkouda_njit_spark.operators import k_truss
+
+    g = _graph_c(spark, sf_dir)
+    lab = _labels(g)
+    kt = k_truss(g, 5)
+    return (
+        kt.join(lab.withColumnRenamed("vid", "u").withColumnRenamed("node", "nu"), "u")
+        .join(lab.withColumnRenamed("vid", "v").withColumnRenamed("node", "nv"), "v")
+        .select(
+            F.col("nu").cast("long").alias("u"),
+            F.col("nv").cast("long").alias("v"),
+            F.col("value").cast("long"),
+        )
+    )
+
+
+def q_diameter_path(spark, sf_dir):
+    """diameter() with the reference's true−1 matrix-branch convention
+    (Diameter.chpl:195-235) on a data-derived union of path components
+    (gaps in the filtered value range split the path)."""
+    from arkouda_njit_spark.operators import diameter
+
+    li = _read(spark, sf_dir, "lineitem")
+    verts = (
+        li.filter(F.col("l_quantity") > 47)
+        .select(F.pmod(F.col("l_partkey"), F.lit(701)).alias("v"))
+        .distinct()
+    )
+    has_next = verts.join(verts.select((F.col("v") - 1).alias("v")), "v", "left_semi")
+    edges = has_next.select(
+        F.col("v").alias("src"), (F.col("v") + 1).alias("dst"), F.lit(1.0).alias("weight")
+    )
+    g = Graph.from_edges(spark, edges, num_partitions=_GRAPH_PARTITIONS)
+    return spark.createDataFrame([(diameter(g),)], "diameter long")
+
+
+def q_triangle_centrality(spark, sf_dir):
+    """Burkhardt triangle centrality on graph B
+    (TriangleCentrality.chpl:92-100); oracle = the three-aggregation SQL."""
+    from arkouda_njit_spark.operators import triangle_centrality
+
+    g = _graph_b(spark, sf_dir)
+    return (
+        triangle_centrality(g)
+        .join(_labels(g), "vid")
+        .select(F.col("node").cast("long"), F.round("centrality", 9).alias("centrality"))
+    )
+
+
+def q_wcc_split(spark, sf_dir):
+    """well_connected_components on 10 clusters of two 15-cliques joined by
+    one bridge: WCC must split every cluster at the bridge (cut 1 <=
+    floor(log10(30))) and emit the 20 cliques (cut 14 > floor(log10(15))).
+    Expected output is closed-form: cluster = vertex // 15."""
+    from arkouda_njit_spark.operators import well_connected_components
+
+    ids = spark.range(300).select(F.col("id").alias("a"))
+    pairs = ids.crossJoin(ids.select(F.col("a").alias("b")))
+    cliq = pairs.filter(
+        (F.col("a") < F.col("b"))
+        & (F.floor(F.col("a") / 15) == F.floor(F.col("b") / 15))
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    bridges = spark.range(10).select(
+        (F.col("id") * 30).alias("src"), (F.col("id") * 30 + 15).alias("dst")
+    )
+    clustering = spark.range(300).select(
+        F.col("id").alias("node"), F.floor(F.col("id") / 30).cast("long").alias("cluster")
+    )
+    out = well_connected_components(cliq.unionAll(bridges), clustering)
+    return out.select(F.col("vertex").cast("long"), F.col("cluster").cast("long"))
+
+
+def _propgraph_ls(spark: SparkSession, sf_dir: str):
+    """PropGraph over lineitem: edge attr rf = min l_returnflag per
+    (part, supplier) pair; node attr grp from part/supplier keys."""
+    key = ("pg", sf_dir)
+    if key not in _CACHE:
+        from arkouda_njit_spark.propgraph import PropGraph
+
+        li = _read(spark, sf_dir, "lineitem")
+        edges = li.select(
+            F.col("l_partkey").alias("src"),
+            (F.lit(100000) + F.col("l_suppkey")).alias("dst"),
+            F.col("l_returnflag").alias("rf"),
+        )
+        pg = PropGraph.from_edge_attributes(edges, "src", "dst", ["rf"])
+        part = _read(spark, sf_dir, "part").select(
+            F.col("p_partkey").cast("long").alias("nodes"),
+            F.pmod(F.col("p_size"), F.lit(4)).cast("long").alias("grp"),
+        )
+        supp = _read(spark, sf_dir, "supplier").select(
+            (F.lit(100000) + F.col("s_suppkey")).cast("long").alias("nodes"),
+            F.pmod(F.col("s_nationkey"), F.lit(4)).cast("long").alias("grp"),
+        )
+        pg.load_node_attributes(part.unionAll(supp), "nodes", ["grp"])
+        _CACHE[key] = pg
+    return _CACHE[key]
+
+
+def q_filter_edges(spark, sf_dir):
+    """PropGraph.filter_edges (propgraphclass.py:560-597): edges whose
+    attribute matches AND both endpoints match the node predicate."""
+    pg = _propgraph_ls(spark, sf_dir)
+    out = pg.filter_edges({"grp": [0, 1]}, {"rf": ["A", "N"]})
+    return out.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+
+
+def q_subgraph_view(spark, sf_dir):
+    """PropGraph.subgraph_view with only a node filter — the reference's
+    committed OR-quirk (either endpoint suffices, propgraphclass.py:643-644)."""
+    pg = _propgraph_ls(spark, sf_dir)
+    sub = pg.subgraph_view(filter_node=F.col("grp") == 2)
+    return sub.edge_list().select(
+        F.col("src_label").cast("long").alias("u"),
+        F.col("dst_label").cast("long").alias("v"),
+    )
+
+
+def q_triangles_subset(spark, sf_dir):
+    """ar.triangles(graph, vertices) parity: labels in, per-vertex counts
+    out in INPUT order, unknown labels dropped (methods.py:174-222)."""
+    from arkouda_njit_spark.operators import triangles
+
+    g = _graph_b(spark, sf_dir)
+    out = triangles(g, [7, 3, 150, 42, 99999])
+    return out.select(
+        F.col("pos").cast("long"),
+        F.col("node").cast("long"),
+        F.col("triangles").cast("long"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "build_edges": q_build_edges,
@@ -575,6 +726,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": q_clean_corpus,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "edge_support": q_edge_support,
+        "ktruss5": q_ktruss5,
+        "diameter_path": q_diameter_path,
+        "triangle_centrality": q_triangle_centrality,
+        "wcc_split": q_wcc_split,
+        "filter_edges": q_filter_edges,
+        "subgraph_view": q_subgraph_view,
+        "triangles_subset": q_triangles_subset,
         # no-oracle (rows-only) entries:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash": q_simhash,
@@ -701,6 +859,66 @@ lp{i} AS MATERIALIZED (
         )
     parts.append(f"\nSELECT node, label FROM lp{rounds}")
     return "".join(parts)
+
+
+def _unrolled_ktruss(k: int, rounds: int) -> str:
+    """Unrolled support-peel rounds (TrussMsg.chpl semantics): per round,
+    per-edge support = common-neighbor count over the CURRENT edge set;
+    edges below k-2 are peeled. ``rounds`` must cover the fixpoint (4 at
+    sf0.01 for k=5; extra rounds are idempotent)."""
+    thr = k - 2
+    parts = [
+        """WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(l_orderkey % 1201, (l_partkey*7+l_suppkey) % 1201) AS u,
+                  GREATEST(l_orderkey % 1201, (l_partkey*7+l_suppkey) % 1201) AS v
+  FROM lineitem WHERE l_orderkey % 1201 <> (l_partkey*7+l_suppkey) % 1201
+)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+sym{r} AS MATERIALIZED (SELECT u, v FROM e{r} UNION ALL SELECT v AS u, u AS v FROM e{r}),
+sup{r} AS MATERIALIZED (
+  SELECT e.u, e.v, COUNT(*) AS c
+  FROM e{r} e JOIN sym{r} a ON a.u = e.u JOIN sym{r} b ON b.u = e.v AND b.v = a.v
+  GROUP BY e.u, e.v
+),
+e{r + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{r} e JOIN sup{r} s ON e.u = s.u AND e.v = s.v
+  WHERE s.c >= {thr}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT e0.u, e0.v,
+       CAST(CASE WHEN k.u IS NOT NULL THEN -1 ELSE {k - 1} END AS BIGINT) AS value
+FROM e0 LEFT JOIN e{rounds} k ON e0.u = k.u AND e0.v = k.v"""
+    )
+    return "".join(parts)
+
+
+_B_TRI = """
+tri AS MATERIALIZED (
+  SELECT ab.u AS a, ab.v AS b, ac.v AS c
+  FROM und ab JOIN und ac ON ab.u = ac.u AND ab.v < ac.v
+              JOIN und bc ON bc.u = ab.v AND bc.v = ac.v
+),
+cnt AS MATERIALIZED (
+  SELECT x AS node, COUNT(*) AS t FROM (
+    SELECT a AS x FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+  ) GROUP BY x
+)"""
+
+_PG_ATTRS = """
+ea AS MATERIALIZED (
+  SELECT l_partkey AS src, 100000 + l_suppkey AS dst, MIN(l_returnflag) AS rf
+  FROM lineitem GROUP BY 1, 2
+),
+na AS MATERIALIZED (
+  SELECT CAST(p_partkey AS BIGINT) AS nodes, CAST(p_size % 4 AS BIGINT) AS grp FROM part
+  UNION ALL
+  SELECT CAST(100000 + s_suppkey AS BIGINT), CAST(s_nationkey % 4 AS BIGINT) FROM supplier
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1006,6 +1224,71 @@ sup AS (
 )
 SELECT und.u, und.v, COALESCE(sup.s, 0) AS support
 FROM und LEFT JOIN sup ON und.u = sup.u AND und.v = sup.v
+""",
+        "ktruss5": _unrolled_ktruss(5, 6),
+        "diameter_path": """
+WITH verts AS MATERIALIZED (
+  SELECT DISTINCT l_partkey % 701 AS v FROM lineitem WHERE l_quantity > 47
+),
+runs AS (SELECT v, v - ROW_NUMBER() OVER (ORDER BY v) AS grp FROM verts),
+lens AS (SELECT grp, COUNT(*) AS len FROM runs GROUP BY grp)
+SELECT CAST(COALESCE(MAX(len - 2), 0) AS BIGINT) AS diameter
+FROM lens WHERE len >= 3
+""",
+        "triangle_centrality": f"""
+WITH {_B_EDGES},
+{_B_TRI},
+tt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM tri),
+tall AS MATERIALIZED (
+  SELECT v.node, COALESCE(cnt.t, 0) AS t FROM bverts v LEFT JOIN cnt ON v.node = cnt.node
+),
+te AS MATERIALIZED (
+  SELECT DISTINCT x, y FROM (
+    SELECT a AS x, b AS y FROM tri UNION ALL SELECT a, c FROM tri
+    UNION ALL SELECT b, c FROM tri
+  )
+),
+tes AS MATERIALIZED (SELECT x, y FROM te UNION ALL SELECT y AS x, x AS y FROM te),
+nei AS MATERIALIZED (
+  SELECT tes.x AS node, SUM(tall.t) AS nt FROM tes JOIN tall ON tes.y = tall.node
+  GROUP BY tes.x
+),
+nbr AS MATERIALIZED (
+  SELECT s.u AS node, SUM(tall.t) AS ns FROM bsym s JOIN tall ON s.v = tall.node
+  GROUP BY s.u
+)
+SELECT a.node,
+       ROUND((a.t + COALESCE(nbr.ns, 0) - (COALESCE(nei.nt, 0) + a.t) * 2.0 / 3.0)
+             / (SELECT t FROM tt), 9) AS centrality
+FROM tall a LEFT JOIN nei ON a.node = nei.node LEFT JOIN nbr ON a.node = nbr.node
+""",
+        "wcc_split": """
+SELECT CAST(range AS BIGINT) AS vertex, CAST(range // 15 AS BIGINT) AS cluster
+FROM range(300)
+""",
+        "filter_edges": f"""
+WITH {_PG_ATTRS},
+keep AS (SELECT nodes FROM na WHERE grp IN (0, 1))
+SELECT CAST(e.src AS BIGINT) AS src, CAST(e.dst AS BIGINT) AS dst FROM ea e
+WHERE e.rf IN ('A', 'N')
+  AND e.src IN (SELECT nodes FROM keep)
+  AND e.dst IN (SELECT nodes FROM keep)
+""",
+        "subgraph_view": f"""
+WITH {_PG_ATTRS},
+sel AS (SELECT nodes FROM na WHERE grp = 2)
+SELECT DISTINCT CAST(e.src AS BIGINT) AS u, CAST(e.dst AS BIGINT) AS v FROM ea e
+WHERE e.src IN (SELECT nodes FROM sel) OR e.dst IN (SELECT nodes FROM sel)
+""",
+        "triangles_subset": f"""
+WITH {_B_EDGES},
+{_B_TRI},
+req(in_pos, node) AS (VALUES (0, 7), (1, 3), (2, 150), (3, 42), (4, 99999)),
+found AS (SELECT r.in_pos, r.node FROM req r JOIN bverts b ON b.node = r.node),
+pos AS (SELECT in_pos, ROW_NUMBER() OVER (ORDER BY in_pos) - 1 AS pos FROM found)
+SELECT CAST(p.pos AS BIGINT) AS pos, CAST(f.node AS BIGINT) AS node,
+       CAST(COALESCE(c.t, 0) AS BIGINT) AS triangles
+FROM found f JOIN pos p ON f.in_pos = p.in_pos LEFT JOIN cnt c ON c.node = f.node
 """,
         "events_top_users": """
 WITH totals AS (

@@ -15,6 +15,7 @@ from .subgraph_search import (
 from .triangles import (
     triangle_count,
     triangle_total_reference,
+    triangles,
     triangles_per_vertex,
 )
 from .wcc import well_connected_components
@@ -36,6 +37,7 @@ __all__ = [
     "triangle_centrality",
     "triangle_count",
     "triangle_total_reference",
+    "triangles",
     "triangles_per_vertex",
     "truss_decomposition",
     "well_connected_components",

@@ -41,11 +41,15 @@ def triangle_centrality(graph: Graph) -> DataFrame:
         "vid", F.coalesce("t", F.lit(0)).alias("t")
     )
 
-    # Triangle-edge set (both orientations): edges on >=1 triangle.
+    # Triangle-edge set: edges on >=1 triangle. Canonicalize to x<y BEFORE
+    # distinct — triangle rows are (pivot, b, c) with pivot in degree order,
+    # so (a,b) and (b,a) can both appear across triangles; without
+    # least/greatest the dedup keeps both and the N_T neighbor sum
+    # double-counts those neighbors.
     tri_edges = (
-        tri.select(F.col("a").alias("x"), F.col("b").alias("y"))
-        .unionAll(tri.select(F.col("a").alias("x"), F.col("c").alias("y")))
-        .unionAll(tri.select(F.col("b").alias("x"), F.col("c").alias("y")))
+        tri.select(F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y"))
+        .unionAll(tri.select(F.least("a", "c").alias("x"), F.greatest("a", "c").alias("y")))
+        .unionAll(tri.select(F.least("b", "c").alias("x"), F.greatest("b", "c").alias("y")))
         .distinct()
     )
     tri_edges_sym = tri_edges.unionAll(
