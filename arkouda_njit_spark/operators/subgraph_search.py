@@ -35,9 +35,17 @@ from pyspark.sql import functions as F
 from ..graph import DiGraph
 
 
-def _pattern_order(k: int, pedges: list[tuple[int, int]]) -> list[int]:
-    """Connectivity-first ordering, highest-degree start (structural
-    reorder, SubgraphSearch.chpl:496-767)."""
+def _pattern_order(
+    k: int,
+    pedges: list[tuple[int, int]],
+    candidate_counts: dict[int, int] | None = None,
+) -> list[int]:
+    """Connectivity-first ordering (structural reorder,
+    SubgraphSearch.chpl:496-767). With ``candidate_counts`` (host-graph
+    admissible-vertex counts per pattern vertex), the selection key becomes
+    rarest-candidates-first — the probability reorder
+    (generateProbabilityDistribution, SubgraphSearch.chpl:229-332: rarer
+    attribute values ⇒ lower appearance probability ⇒ bind earliest)."""
     adj: dict[int, set[int]] = {v: set() for v in range(k)}
     for a, b in pedges:
         adj[a].add(b)
@@ -47,7 +55,10 @@ def _pattern_order(k: int, pedges: list[tuple[int, int]]) -> list[int]:
     while remaining:
         connected = [v for v in remaining if any(u in order for u in adj[v])]
         pool = connected or list(remaining)
-        nxt = max(pool, key=lambda v: (len(adj[v]), -v))
+        if candidate_counts is not None:
+            nxt = min(pool, key=lambda v: (candidate_counts.get(v, 0), -len(adj[v]), v))
+        else:
+            nxt = max(pool, key=lambda v: (len(adj[v]), -v))
         order.append(nxt)
         remaining.remove(nxt)
     return order
@@ -60,6 +71,9 @@ def subgraph_search(
     induced: bool = True,
     node_filter: DataFrame | None = None,
     edge_filter: DataFrame | None = None,
+    size_limit: int | None = None,
+    time_limit: float | None = None,
+    reorder_type: str = "structural",
 ) -> DataFrame:
     """All embeddings of the pattern in ``graph``.
 
@@ -71,7 +85,19 @@ def subgraph_search(
     vertices may bind each pattern vertex (the attribute-match
     pre-filter); ``edge_filter``: optional (src, dst, psrc, pdst)
     restricting which graph edges may realize each pattern edge.
+
+    ``size_limit`` caps the returned embeddings (methods.py:446-453: the
+    reference returns *at least* size_limit when more exist; here exactly
+    min(size_limit, total)). ``time_limit`` (minutes, methods.py:454-455)
+    aborts the level loop; a level-synchronous engine has no complete
+    embeddings mid-search, so a timeout returns the empty set with the
+    full schema. ``reorder_type``: "structural" (connectivity-first) or
+    "probability" (rarest host-candidate count first,
+    SubgraphSearch.chpl:229-332).
     """
+    import time as _time
+
+    t_start = _time.monotonic()
     spark = graph.spark
     pverts = pattern_vertices or sorted({v for e in pattern_edges for v in e})
     k = len(pverts)
@@ -123,7 +149,17 @@ def subgraph_search(
             pruned = pruned.join(allowed, "vid", "left_semi")
         return pruned
 
-    order = _pattern_order(k, pedges)
+    if reorder_type == "probability":
+        cand_counts = {i: vert_table(i).count() for i in range(k)}
+        order = _pattern_order(k, pedges, candidate_counts=cand_counts)
+    else:
+        order = _pattern_order(k, pedges)
+
+    def _timed_out() -> bool:
+        return (
+            time_limit is not None
+            and (_time.monotonic() - t_start) > time_limit * 60.0
+        )
 
     # level 0
     state = vert_table(order[0]).select(F.col("vid").alias(f"m{order[0]}"))
@@ -131,6 +167,14 @@ def subgraph_search(
     bound = [order[0]]
 
     for vi in order[1:]:
+        if _timed_out():
+            # abort: no complete embeddings exist mid-search in a
+            # level-synchronous engine — empty result, full schema
+            state = state.limit(0)
+            for vj in order[len(bound):]:
+                state = state.withColumn(f"m{vj}", F.lit(None).cast("long"))
+            bound = list(order)
+            break
         fwd = [vj for vj in bound if (vi, vj) in pedge_set]  # vi -> bound
         bwd = [vj for vj in bound if (vj, vi) in pedge_set]  # bound -> vi
         new = f"m{vi}"
@@ -208,7 +252,10 @@ def subgraph_search(
 
     degs.unpersist()
     E.unpersist()
-    return state.select(*[F.col(f"m{i}").alias(f"g{i}") for i in range(k)])
+    out = state.select(*[F.col(f"m{i}").alias(f"g{i}") for i in range(k)])
+    if size_limit is not None:
+        out = out.limit(int(size_limit))
+    return out
 
 
 def _attr_node_filter(graph, pattern) -> DataFrame | None:
@@ -247,20 +294,61 @@ def _attr_edge_filter(graph, pattern) -> DataFrame | None:
     )
 
 
-def subgraph_isomorphism(graph, pattern, return_count: bool = False):
+def subgraph_isomorphism(
+    graph,
+    pattern,
+    return_count: bool = False,
+    size_limit: int | None = None,
+    time_limit: float | None = None,
+    return_isos_as: str = "vertices",
+    reorder_type: str = "structural",
+):
     """All induced embeddings of ``pattern`` (a PropGraph/DiGraph) in
     ``graph``, with attribute matching when both carry attributes —
     ar.subgraph_isomorphism parity (methods.py:427-612). Embedding columns
-    are graph *labels* in pattern-vertex order."""
-    return _search_api(graph, pattern, induced=True, return_count=return_count)
+    are graph *labels* in pattern-vertex order.
+
+    ``return_isos_as``: "vertices" (one row per embedding, g0..g{k-1}),
+    "edges" (one row per realized pattern edge: emb columns + psrc/pdst/
+    src/dst), "complete" (vertices + the edge mapping), "count"
+    (methods.py:460-467). ``size_limit``/``time_limit``/``reorder_type``
+    as in :func:`subgraph_search`."""
+    return _search_api(
+        graph, pattern, induced=True, return_count=return_count,
+        size_limit=size_limit, time_limit=time_limit,
+        return_isos_as=return_isos_as, reorder_type=reorder_type,
+    )
 
 
-def subgraph_monomorphism(graph, pattern, return_count: bool = False):
+def subgraph_monomorphism(
+    graph,
+    pattern,
+    return_count: bool = False,
+    size_limit: int | None = None,
+    time_limit: float | None = None,
+    return_isos_as: str = "vertices",
+    reorder_type: str = "structural",
+):
     """Non-induced variant (pattern edges required, non-edges ignored)."""
-    return _search_api(graph, pattern, induced=False, return_count=return_count)
+    return _search_api(
+        graph, pattern, induced=False, return_count=return_count,
+        size_limit=size_limit, time_limit=time_limit,
+        return_isos_as=return_isos_as, reorder_type=reorder_type,
+    )
 
 
-def _search_api(graph, pattern, induced: bool, return_count: bool):
+def _search_api(
+    graph,
+    pattern,
+    induced: bool,
+    return_count: bool,
+    size_limit: int | None = None,
+    time_limit: float | None = None,
+    return_isos_as: str = "vertices",
+    reorder_type: str = "structural",
+):
+    if return_isos_as not in ("vertices", "edges", "complete", "count"):
+        raise ValueError(f"unknown return_isos_as: {return_isos_as!r}")
     pedges = [
         (r["src_label"], r["dst_label"]) for r in pattern.edge_list().collect()
     ]
@@ -270,8 +358,9 @@ def _search_api(graph, pattern, induced: bool, return_count: bool):
     emb = subgraph_search(
         graph, pedges, pattern_vertices=pverts, induced=induced,
         node_filter=nf, edge_filter=ef,
+        size_limit=size_limit, time_limit=time_limit, reorder_type=reorder_type,
     )
-    if return_count:
+    if return_count or return_isos_as == "count":
         return emb.count()
     # map vids back to labels
     out = emb
@@ -280,4 +369,22 @@ def _search_api(graph, pattern, induced: bool, return_count: bool):
             F.col("vid").alias(f"g{i}"), F.col("label").alias(f"v{i}")
         )
         out = out.join(lab, f"g{i}")
-    return out.select(*[F.col(f"v{i}").alias(f"g{i}") for i in range(len(pverts))])
+    verts = out.select(*[F.col(f"v{i}").alias(f"g{i}") for i in range(len(pverts))])
+    if return_isos_as == "vertices":
+        return verts
+    # edge view: one row per (embedding, pattern edge) — the reference's
+    # m*k segmented edge array (methods.py:483-487) as a long table
+    vidx = {v: i for i, v in enumerate(pverts)}
+    edge_rows = None
+    for a, b in pedges:
+        part = verts.select(
+            *[F.col(f"g{i}") for i in range(len(pverts))],
+            F.lit(a).alias("psrc"),
+            F.lit(b).alias("pdst"),
+            F.col(f"g{vidx[a]}").alias("src"),
+            F.col(f"g{vidx[b]}").alias("dst"),
+        )
+        edge_rows = part if edge_rows is None else edge_rows.unionAll(part)
+    if return_isos_as == "edges":
+        return edge_rows.select("psrc", "pdst", "src", "dst")
+    return edge_rows  # "complete": vertices + edge mapping per row

@@ -72,6 +72,212 @@ def _process_cluster(edges: list[tuple[int, int]], criterion, mult, post_min) ->
     return out
 
 
+def _criterion_col(name: str, n, mult: float):
+    """The criterion as a Spark Column over a piece-size column ``n``
+    (WellConnectedComponentsDistributed.chpl:73-76)."""
+    if name == "log10":
+        return F.floor(F.log10(n.cast("double")))
+    if name == "log2":
+        return F.floor(F.log2(n.cast("double")))
+    if name == "sqrt":
+        return F.floor(F.sqrt(n.cast("double")) / 5)
+    return F.floor(F.lit(mult) * n)
+
+
+def _cc_per_piece(edges: DataFrame, max_iterations: int = 40) -> DataFrame:
+    """(pk, vid, comp): hash-min connected components within each piece key
+    ``pk`` of a (pk, src, dst) edge table — fully distributed."""
+    sym = edges.select("pk", "src", "dst").unionAll(
+        edges.select("pk", F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    state = (
+        sym.select("pk", F.col("src").alias("vid")).distinct()
+        .withColumn("comp", F.col("vid"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nbr = sym.join(
+            state.select("pk", F.col("vid").alias("src"), "comp"), ["pk", "src"]
+        ).select("pk", F.col("dst").alias("vid"), "comp")
+        exchanged = (
+            state.unionAll(nbr).groupBy("pk", "vid").agg(F.min("comp").alias("comp"))
+        )
+        parent = exchanged.select(
+            "pk", F.col("vid").alias("comp"), F.col("comp").alias("grand")
+        )
+        jumped = exchanged.join(parent, ["pk", "comp"]).select(
+            "pk", "vid", F.col("grand").alias("comp")
+        ).localCheckpoint(eager=True)
+        changed = (
+            jumped.join(state.withColumnRenamed("comp", "old"), ["pk", "vid"])
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
+        state = jumped
+        if changed == 0:
+            break
+    return state
+
+
+def _mini_lpa(edges: DataFrame, rounds: int = 8) -> DataFrame:
+    """(pk, vid, lbl): deterministic synchronous label propagation within
+    each piece — the community guide for the approximate cut."""
+    sym = edges.select("pk", "src", "dst").unionAll(
+        edges.select("pk", F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    state = (
+        sym.select("pk", F.col("src").alias("vid")).distinct()
+        .withColumn("lbl", F.col("vid"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        hist = (
+            sym.join(state.select("pk", F.col("vid").alias("src"), "lbl"), ["pk", "src"])
+            .groupBy("pk", F.col("dst").alias("vid"), "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        # deterministic argmax: (count desc, label asc) via min on struct
+        best = hist.groupBy("pk", "vid").agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("lbl").alias("l"))).alias("b")
+        ).select("pk", "vid", F.col("b.l").alias("lbl"))
+        state = (
+            state.select("pk", "vid").join(best, ["pk", "vid"], "left")
+            .join(state.withColumnRenamed("lbl", "old"), ["pk", "vid"])
+            .select("pk", "vid", F.coalesce("lbl", "old").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return state
+
+
+def _wcc_distributed(
+    intra: DataFrame,
+    criterion_name: str,
+    mult: float,
+    post_min: int,
+    max_cluster_edges: int,
+    exact_runner,
+    out_schema: str,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Oversized-cluster path (reference ships
+    WellConnectedComponentsDistributed.chpl for the same reason): per
+    round — distributed CC per piece, pendant trim (removeDegreeOne,
+    :284-296), route pieces that now fit ``max_cluster_edges`` through the
+    exact Stoer–Wagner grouped-map, and for still-oversized pieces attempt
+    an LPA-community-guided cut: if the cheapest community boundary is
+    <= criterion(n) the piece splits there (any witnessed cut <= criterion
+    proves not-well-connected), else the piece is ACCEPTED approximately
+    (the reference's VieCut is likewise a heuristic solver). Never
+    materializes an oversized piece in one task."""
+    spark = intra.sparkSession
+    work = intra.select(
+        F.concat_ws("_", F.lit("c"), F.col("cluster")).alias("pk"), "src", "dst"
+    ).localCheckpoint(eager=True)
+    results: list[DataFrame] = []
+    empty = spark.createDataFrame([], out_schema)
+
+    for _ in range(max_rounds):
+        if work.isEmpty():
+            break
+        comp = _cc_per_piece(work)
+        work = (
+            work.join(comp.select("pk", F.col("vid").alias("src"), "comp"), ["pk", "src"])
+            .select(F.concat_ws("_", "pk", "comp").alias("pk"), "src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        deg = (
+            work.select("pk", F.col("src").alias("vid"))
+            .unionAll(work.select("pk", F.col("dst").alias("vid")))
+            .groupBy("pk", "vid")
+            .agg(F.count("*").alias("deg"))
+        ).persist()
+        stats = deg.groupBy("pk").agg(
+            F.count("*").alias("n"), (F.sum("deg") / 2).alias("m")
+        ).persist()
+
+        # 1) pendant trim (removeDegreeOne) — drop deg<=1 vertices, redo CC
+        pend = deg.filter(F.col("deg") <= 1).select("pk", "vid")
+        if not pend.isEmpty():
+            keep = deg.filter(F.col("deg") > 1).select("pk", "vid")
+            work = (
+                work.join(keep.withColumnRenamed("vid", "src"), ["pk", "src"], "left_semi")
+                .join(keep.withColumnRenamed("vid", "dst"), ["pk", "dst"], "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            deg.unpersist()
+            stats.unpersist()
+            continue
+
+        # 2) pieces that now fit: exact per-piece recursion in one task each
+        fit = stats.filter(F.col("m") <= max_cluster_edges).select("pk")
+        fitted = work.join(fit, "pk", "left_semi")
+        if not fitted.isEmpty():
+            results.append(
+                fitted.groupBy("pk").applyInPandas(exact_runner, schema=out_schema)
+                .localCheckpoint(eager=True)
+            )
+        work = work.join(fit, "pk", "left_anti").localCheckpoint(eager=True)
+        if work.isEmpty():
+            deg.unpersist()
+            stats.unpersist()
+            break
+
+        # 3) oversized pieces: LPA-guided approximate cut
+        lbl = _mini_lpa(work)
+        ls = lbl.select("pk", F.col("vid").alias("src"), F.col("lbl").alias("l1"))
+        ld = lbl.select("pk", F.col("vid").alias("dst"), F.col("lbl").alias("l2"))
+        tagged = work.join(ls, ["pk", "src"]).join(ld, ["pk", "dst"]).persist()
+        # boundary cut per (pk, community): edges with exactly one endpoint in it
+        cuts = (
+            tagged.filter(F.col("l1") != F.col("l2"))
+            .select("pk", F.col("l1").alias("g"))
+            .unionAll(
+                tagged.filter(F.col("l1") != F.col("l2")).select("pk", F.col("l2").alias("g"))
+            )
+            .groupBy("pk", "g")
+            .agg(F.count("*").alias("cut"))
+        )
+        best = cuts.groupBy("pk").agg(
+            F.min(F.struct("cut", "g")).alias("b")
+        ).select("pk", F.col("b.cut").alias("cut"), F.col("b.g").alias("g"))
+        crit_pk = stats.select("pk", _criterion_col(criterion_name, F.col("n"), mult).alias("crit"))
+        decision = best.join(crit_pk, "pk")
+        # accept: single LPA community (no cuts row) or cheapest boundary > crit
+        accepted = stats.join(
+            decision.filter(F.col("cut") <= F.col("crit")).select("pk"), "pk", "left_anti"
+        ).select("pk")
+        acc_verts = deg.join(accepted, "pk", "left_semi").select("pk", "vid")
+        if not acc_verts.isEmpty():
+            results.append(
+                acc_verts.groupBy("pk")
+                .agg(F.min("vid").alias("cluster_min"), F.collect_list("vid").alias("vs"))
+                .select(F.explode("vs").alias("vertex"), "cluster_min")
+                .localCheckpoint(eager=True)
+            )
+        # split: remove the boundary edges of the chosen community; parts
+        # with n <= post_min are dropped next round by the recursion gate
+        splitting = decision.filter(F.col("cut") <= F.col("crit")).select("pk", "g")
+        nxt = (
+            work.join(ls, ["pk", "src"]).join(ld, ["pk", "dst"])
+            .join(splitting, "pk")
+            .filter(
+                ((F.col("l1") == F.col("g")) & (F.col("l2") == F.col("g")))
+                | ((F.col("l1") != F.col("g")) & (F.col("l2") != F.col("g")))
+            )
+            .select("pk", "src", "dst")
+        )
+        work = nxt.localCheckpoint(eager=True)
+        tagged.unpersist()
+        deg.unpersist()
+        stats.unpersist()
+    if not results:
+        return empty
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionAll(r)
+    return out
+
+
 def well_connected_components(
     edges: DataFrame,
     clustering: DataFrame,
@@ -79,6 +285,7 @@ def well_connected_components(
     mult_value: float | None = None,
     pre_filter_min_size: int = 10,
     post_filter_min_size: int = 10,
+    max_cluster_edges: int = 5_000_000,
 ) -> DataFrame:
     """(vertex, cluster) rows for every vertex of a well-connected cluster.
 
@@ -125,7 +332,27 @@ def well_connected_components(
                 rows["cluster_min"].append(int(m))
         return pd.DataFrame(rows)
 
-    raw = intra.groupBy("cluster").applyInPandas(run, schema=out_schema)
+    # Oversized clusters (edge count > max_cluster_edges) cannot ship to a
+    # single grouped-map task: route them through the distributed path
+    # (reference: WellConnectedComponentsDistributed.chpl).
+    intra = intra.persist()
+    ecounts = intra.groupBy("cluster").agg(F.count("*").alias("m"))
+    big = ecounts.filter(F.col("m") > max_cluster_edges).select("cluster")
+    small_intra = intra.join(big, "cluster", "left_anti")
+    raw = small_intra.groupBy("cluster").applyInPandas(run, schema=out_schema)
+    if not big.isEmpty():
+        big_intra = intra.join(big, "cluster", "left_semi")
+        raw = raw.unionAll(
+            _wcc_distributed(
+                big_intra,
+                connectedness_criterion,
+                mult,
+                post_min,
+                max_cluster_edges,
+                run,
+                out_schema,
+            )
+        )
     # dense final ids by ascending cluster-min — two-pass dense rank, NOT a
     # global window (a no-partitionBy Window serializes through one task)
     from ..plans.partitioning import dense_rank_ids

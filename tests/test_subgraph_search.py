@@ -87,6 +87,60 @@ def test_no_match_empty_mid_search(spark):
     assert subgraph_monomorphism(g, h, return_count=True) == 0
 
 
+def test_size_limit_truncates(spark, g18):
+    """size_limit returns min(size_limit, total) embeddings
+    (methods.py:446-453: reference guarantees >= size_limit when more
+    exist; the join engine returns exactly the cap)."""
+    h = DiGraph.from_edges(spark, PSRC, PDST)
+    total = _nx_iso_count(SRC, DST, PSRC, PDST, mono=True)
+    assert total > 2
+    got = subgraph_monomorphism(g18, h, size_limit=2)
+    assert got.count() == 2
+    # cap above total: everything comes back
+    got_all = subgraph_monomorphism(g18, h, size_limit=total + 50)
+    assert got_all.count() == total
+
+
+def test_time_limit_zero_aborts(spark, g18):
+    """time_limit=0 aborts before any level completes; result is empty
+    with the full schema (methods.py:454-455)."""
+    h = DiGraph.from_edges(spark, PSRC, PDST)
+    got = subgraph_isomorphism(g18, h, time_limit=0.0)
+    assert got.columns == ["g0", "g1", "g2", "g3"]
+    assert got.count() == 0
+
+
+def test_probability_reorder_same_results(spark, g18):
+    """Probability (rarest-candidate-first) reorder changes the join order
+    only — the embedding SET is identical (SubgraphSearch.chpl:229-332)."""
+    h = DiGraph.from_edges(spark, PSRC, PDST)
+    a = {tuple(r) for r in subgraph_isomorphism(g18, h).collect()}
+    b = {
+        tuple(r)
+        for r in subgraph_isomorphism(g18, h, reorder_type="probability").collect()
+    }
+    assert a == b and len(a) == _nx_iso_count(SRC, DST, PSRC, PDST)
+
+
+def test_return_isos_as_modes(spark, g18):
+    """edges / complete / count views (methods.py:460-467)."""
+    h = DiGraph.from_edges(spark, PSRC, PDST)
+    n = _nx_iso_count(SRC, DST, PSRC, PDST)
+    m = len(PSRC)
+    assert subgraph_isomorphism(g18, h, return_isos_as="count") == n
+    edges = subgraph_isomorphism(g18, h, return_isos_as="edges")
+    assert edges.columns == ["psrc", "pdst", "src", "dst"]
+    assert edges.count() == n * m
+    # every returned edge must exist in the host graph
+    G = nx.DiGraph(list(zip(SRC, DST)))
+    for r in edges.collect():
+        assert G.has_edge(r["src"], r["dst"])
+    comp = subgraph_isomorphism(g18, h, return_isos_as="complete")
+    assert comp.count() == n * m
+    assert {"psrc", "pdst", "src", "dst"}.issubset(set(comp.columns))
+    assert {f"g{i}" for i in range(4)}.issubset(set(comp.columns))
+
+
 def test_attribute_matching(spark):
     # two labeled triangles; pattern requires label 'x' on all vertices —
     # only the x-triangle matches

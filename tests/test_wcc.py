@@ -68,6 +68,39 @@ def test_wcc_prefilter_drops_small_clusters(spark):
     assert got2.count() == 5  # K5 is well-connected (cut 4 > log10(5)=0)
 
 
+def test_wcc_oversized_cluster_distributed_path(spark):
+    """A cluster above max_cluster_edges routes through the distributed
+    fallback (CC + pendant trim + LPA-guided cut) instead of one grouped-map
+    task, and still splits two bridged cliques correctly (VERDICT r1 #7)."""
+    edges = []
+    for base in (0, 100):
+        for i in range(20):
+            for j in range(i + 1, 20):
+                edges.append((base + i, base + j))
+    edges.append((0, 100))  # bridge: cut=1 <= floor(log10(40))=1 -> split
+    # plus a pendant path hanging off the first clique (degree-one trim)
+    edges += [(0, 500), (500, 501)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    members = list(range(20)) + list(range(100, 120)) + [500, 501]
+    cdf = spark.createDataFrame([(v, 1) for v in members], "node long, cluster long")
+    got = well_connected_components(edf, cdf, max_cluster_edges=100)
+    clusters = {}
+    for r in got.collect():
+        clusters.setdefault(r["cluster"], set()).add(r["vertex"])
+    assert sorted(map(sorted, clusters.values())) == [
+        sorted(range(20)),
+        sorted(range(100, 120)),
+    ]
+    # exact single-task path agrees on the same input
+    exact = well_connected_components(edf, cdf)  # default threshold: fits
+    eclusters = {}
+    for r in exact.collect():
+        eclusters.setdefault(r["cluster"], set()).add(r["vertex"])
+    assert sorted(map(sorted, clusters.values())) == sorted(
+        map(sorted, eclusters.values())
+    )
+
+
 def test_wcc_mult_requires_value(spark):
     # 'mult' with no mult_value would make the criterion floor(0*n)=0 —
     # a silent wrong answer; must raise instead (ADVICE r1, low)
