@@ -84,14 +84,6 @@ def pagerank(
     zeros = graph.vertices.select("vid", F.lit(0.0).alias("c"))
 
     def step(state: DataFrame, i: int) -> DataFrame:
-        # ONE scalar aggregate for the dangling mass, folded back in as a
-        # literal (broadcast) — never a driver loop over vertices.
-        dangle_mass = 0.0
-        if has_dangling:
-            dangle_mass = (
-                state.join(dangling, "vid", "left_semi").agg(F.sum("rank")).collect()[0][0]
-            ) or 0.0
-        base = (1.0 - alpha) / n + alpha * dangle_mass / n
         # State join strategy: broadcast while the state is small,
         # shuffle_hash beyond (plans/joins.py — broadcasting a 10^12-vertex
         # state is impossible; co-partitioning means only the state side
@@ -106,6 +98,25 @@ def pagerank(
             .groupBy("vid")
             .agg(F.sum("c").alias("c"))
         )
+        if has_dangling:
+            # Dangling mass as an in-plan broadcast scalar (1-row crossJoin),
+            # NOT a per-iteration driver collect — one Spark job per
+            # iteration instead of two (the extra barrier dominates on
+            # small graphs and is pure overhead at any size).
+            mass = F.broadcast(
+                state.join(dangling, "vid", "left_semi").agg(
+                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+                )
+            )
+            return contribs.crossJoin(mass).select(
+                "vid",
+                (
+                    F.lit((1.0 - alpha) / n)
+                    + F.lit(alpha) * F.col("_dm") / F.lit(float(n))
+                    + F.lit(alpha) * F.col("c")
+                ).alias("rank"),
+            )
+        base = (1.0 - alpha) / n
         return contribs.select(
             "vid", (F.lit(base) + F.lit(alpha) * F.col("c")).alias("rank")
         )

@@ -170,9 +170,18 @@ def _wcc_distributed(
     (the reference's VieCut is likewise a heuristic solver). Never
     materializes an oversized piece in one task."""
     spark = intra.sparkSession
-    work = intra.select(
-        F.concat_ws("_", F.lit("c"), F.col("cluster")).alias("pk"), "src", "dst"
-    ).localCheckpoint(eager=True)
+    # canonicalize like nx.Graph does implicitly on the exact path:
+    # undirected, one orientation, no duplicates, no loops
+    work = (
+        intra.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.concat_ws("_", F.lit("c"), F.col("cluster")).alias("pk"),
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     results: list[DataFrame] = []
     empty = spark.createDataFrame([], out_schema)
 

@@ -97,6 +97,35 @@ spark.stop()
 """
 
 
+WEBPIPE_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from arkouda_njit_spark.session import get_spark
+from arkouda_njit_spark.operators.pagerank import pagerank
+from arkouda_njit_spark.sources.pages import build_web_graph, generate_pages
+
+cpus = int(sys.argv[1])
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+n = %(n_pages)d
+pages = generate_pages(spark, n_pages=n, links_per_page=10, seed=42).persist()
+pages.count()  # materialize the input so the timing covers the PIPELINE
+# warmup slice (JIT the Arrow extraction path)
+build_web_graph(pages.limit(5000)).edges.count()
+t0 = time.time()
+wg = build_web_graph(pages)   # Arrow link extraction + canonical build
+pr = pagerank(wg, tol=0.0, max_iterations=5)
+pr.count()
+wall = time.time() - t0
+rows = pr.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+print(json.dumps({"cpus": cpus, "wall_sec": wall, "units": n,
+                  "throughput": n / wall, "iters_per_hour": None,
+                  "partition_rows": {str(r["pid"]): r["count"] for r in rows}}))
+spark.stop()
+"""
+
+
 def run_at(worker: str, cpus: int, params: dict) -> dict:
     code = worker % params
     out = subprocess.run(
@@ -120,6 +149,12 @@ JOBS = {
         {"repo": REPO, "n_docs": N_DOCS},
         f"minhash8_{N_DOCS}docs",
         "docs_per_sec",
+    ),
+    "webpipeline": (
+        WEBPIPE_WORKER,
+        {"repo": REPO, "n_pages": int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "120000"))},
+        "webpipeline_extract_build_pr5",
+        "pages_per_sec",
     ),
 }
 
