@@ -681,6 +681,50 @@ def q_subgraph_view(spark, sf_dir):
     )
 
 
+def _graph_s(spark: SparkSession, sf_dir: str) -> Graph:
+    """Small sparse sampled graph (1/40th of lineitem, mod 1201): truss
+    decomposition terminates in two k-levels here, so the full
+    decomposition loop is oracle-able as unrolled SQL."""
+    key = ("s", sf_dir)
+    if key not in _CACHE:
+        li = _read(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 40 == 0)
+        raw = li.select(
+            F.pmod(F.col("l_orderkey"), F.lit(1201)).alias("src"),
+            F.pmod(F.col("l_partkey") * 7 + F.col("l_suppkey"), F.lit(1201)).alias("dst"),
+            F.lit(1.0).alias("weight"),
+        ).filter(F.col("src") != F.col("dst"))
+        _CACHE[key] = Graph.from_edges(spark, raw, num_partitions=_GRAPH_PARTITIONS)
+    return _CACHE[key]
+
+
+def q_truss_decomposition(spark, sf_dir):
+    """truss_decomposition: per-edge max k (min 2) — TrussMsg.chpl:1130+,
+    methods.py:340-367; oracle = unrolled 3-truss + 4-truss fixpoints."""
+    from arkouda_njit_spark.operators import truss_decomposition
+
+    g = _graph_s(spark, sf_dir)
+    lab = _labels(g)
+    td = truss_decomposition(g)
+    return (
+        td.join(lab.withColumnRenamed("vid", "u").withColumnRenamed("node", "nu"), "u")
+        .join(lab.withColumnRenamed("vid", "v").withColumnRenamed("node", "nv"), "v")
+        .select(
+            F.col("nu").cast("long").alias("u"),
+            F.col("nv").cast("long").alias("v"),
+            F.col("truss").cast("long"),
+        )
+    )
+
+
+def q_max_truss(spark, sf_dir):
+    """max_truss: largest k with a non-empty k-truss (binary search,
+    TrussMsg.chpl:951-1129); oracle = MAX over the decomposition SQL."""
+    from arkouda_njit_spark.operators import max_truss
+
+    g = _graph_s(spark, sf_dir)
+    return spark.createDataFrame([(max_truss(g),)], "max_truss long")
+
+
 def q_triangles_subset(spark, sf_dir):
     """ar.triangles(graph, vertices) parity: labels in, per-vertex counts
     out in INPUT order, unknown labels dropped (methods.py:174-222)."""
@@ -729,6 +773,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss5": q_ktruss5,
         "diameter_path": q_diameter_path,
         "triangle_centrality": q_triangle_centrality,
+        "truss_decomposition": q_truss_decomposition,
+        "max_truss": q_max_truss,
         "wcc_split": q_wcc_split,
         "filter_edges": q_filter_edges,
         "subgraph_view": q_subgraph_view,
@@ -896,6 +942,54 @@ FROM e0 LEFT JOIN e{rounds} k ON e0.u = k.u AND e0.v = k.v"""
     )
     return "".join(parts)
 
+
+def _peel_rounds(prefix: str, src_cte: str, k: int, rounds: int) -> str:
+    """SQL fragment: ``rounds`` support-peel rounds at threshold k-2 over
+    ``src_cte`` (u,v); final surviving set is ``{prefix}{rounds}``."""
+    thr = k - 2
+    parts = [f",\n{prefix}0 AS MATERIALIZED (SELECT u, v FROM {src_cte})"]
+    for r in range(rounds):
+        parts.append(
+            f""",
+{prefix}sym{r} AS MATERIALIZED (
+  SELECT u, v FROM {prefix}{r} UNION ALL SELECT v AS u, u AS v FROM {prefix}{r}
+),
+{prefix}sup{r} AS MATERIALIZED (
+  SELECT e.u, e.v, COUNT(*) AS c
+  FROM {prefix}{r} e JOIN {prefix}sym{r} a ON a.u = e.u
+                     JOIN {prefix}sym{r} b ON b.u = e.v AND b.v = a.v
+  GROUP BY e.u, e.v
+),
+{prefix}{r + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {prefix}{r} e
+  JOIN {prefix}sup{r} s ON e.u = s.u AND e.v = s.v
+  WHERE s.c >= {thr}
+)"""
+        )
+    return "".join(parts)
+
+
+# truss decomposition oracle over the small sampled graph: per-edge truss =
+# 4 if in the 4-truss fixpoint, 3 if in the 3-truss fixpoint, else 2
+# (empirically max_truss = 3 at sf0.01; the 4-level guards the claim)
+_TRUSS_DECOMP_SQL = (
+    """WITH se AS MATERIALIZED (
+  SELECT DISTINCT LEAST(l_orderkey % 1201, (l_partkey*7+l_suppkey) % 1201) AS u,
+                  GREATEST(l_orderkey % 1201, (l_partkey*7+l_suppkey) % 1201) AS v
+  FROM lineitem
+  WHERE l_orderkey % 40 = 0
+    AND l_orderkey % 1201 <> (l_partkey*7+l_suppkey) % 1201
+)"""
+    + _peel_rounds("t3_", "se", 3, 4)
+    + _peel_rounds("t4_", "t3_4", 4, 3)
+    + """
+SELECT se.u, se.v,
+       CAST(CASE WHEN f4.u IS NOT NULL THEN 4
+                 WHEN f3.u IS NOT NULL THEN 3
+                 ELSE 2 END AS BIGINT) AS truss
+FROM se LEFT JOIN t3_4 f3 ON se.u = f3.u AND se.v = f3.v
+        LEFT JOIN t4_3 f4 ON se.u = f4.u AND se.v = f4.v"""
+)
 
 _B_TRI = """
 tri AS MATERIALIZED (
@@ -1226,6 +1320,11 @@ SELECT und.u, und.v, COALESCE(sup.s, 0) AS support
 FROM und LEFT JOIN sup ON und.u = sup.u AND und.v = sup.v
 """,
         "ktruss5": _unrolled_ktruss(5, 6),
+        "truss_decomposition": _TRUSS_DECOMP_SQL,
+        "max_truss": f"""
+WITH decomp AS ({_TRUSS_DECOMP_SQL})
+SELECT CAST(MAX(truss) AS BIGINT) AS max_truss FROM decomp
+""",
         "diameter_path": """
 WITH verts AS MATERIALIZED (
   SELECT DISTINCT l_partkey % 701 AS v FROM lineitem WHERE l_quantity > 47
