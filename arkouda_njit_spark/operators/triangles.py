@@ -43,9 +43,13 @@ def _undirected_simple_edges(graph: Graph) -> DataFrame:
     )
 
 
-def oriented_edges(graph: Graph) -> DataFrame:
-    """Degree-ordered orientation: (lo, hi) with (deg,vid) of lo < of hi."""
-    und = _undirected_simple_edges(graph)
+def oriented_edges(graph: Graph, und: DataFrame | None = None) -> DataFrame:
+    """Degree-ordered orientation: (lo, hi) with (deg,vid) of lo < of hi.
+
+    Pass a (persisted) ``und`` to reuse the canonical pair set — the
+    distinct() behind it is a shuffle worth paying once, not twice."""
+    if und is None:
+        und = _undirected_simple_edges(graph)
     deg = (
         und.select(F.col("u").alias("vid"))
         .unionAll(und.select(F.col("v").alias("vid")))
@@ -75,8 +79,10 @@ def triangle_rows(graph: Graph) -> DataFrame:
     """All triangles, one row each: (a, b, c) with no canonical meaning
     beyond distinctness (a = pivot, b < c in vid order)."""
     P = graph.num_partitions
-    o = oriented_edges(graph).repartition(P, "lo").persist()
-    und = _undirected_simple_edges(graph)
+    # One symmetrize+distinct shuffle feeds BOTH the orientation (degree
+    # count + remap joins) and the closing-edge semi-join.
+    und = _undirected_simple_edges(graph).persist()
+    o = oriented_edges(graph, und=und).repartition(P, "lo").persist()
     w1 = o.select(F.col("lo").alias("p"), F.col("hi").alias("b"))
     w2 = o.select(F.col("lo").alias("p"), F.col("hi").alias("c"))
     wedges = w1.join(w2, "p").filter(F.col("b") < F.col("c"))
