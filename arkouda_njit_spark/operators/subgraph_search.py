@@ -302,6 +302,8 @@ def subgraph_isomorphism(
     time_limit: float | None = None,
     return_isos_as: str = "vertices",
     reorder_type: str = "structural",
+    algorithm_type: str = "si",
+    print_progress_interval: int | None = None,
 ):
     """All induced embeddings of ``pattern`` (a PropGraph/DiGraph) in
     ``graph``, with attribute matching when both carry attributes —
@@ -312,7 +314,14 @@ def subgraph_isomorphism(
     "edges" (one row per realized pattern edge: emb columns + psrc/pdst/
     src/dst), "complete" (vertices + the edge mapping), "count"
     (methods.py:460-467). ``size_limit``/``time_limit``/``reorder_type``
-    as in :func:`subgraph_search`."""
+    as in :func:`subgraph_search`. ``algorithm_type`` (reference 'si':
+    edge-centric states, vs 'ps': parallel VF2) is validated for API
+    parity — the join engine IS the 'si' shape (states extend along
+    existing edges), so both values run the same plan.
+    ``print_progress_interval`` accepted for parity; per-level progress
+    lives in the Spark UI."""
+    if algorithm_type not in ("si", "ps"):
+        raise ValueError(f"unknown algorithm_type: {algorithm_type!r}")
     return _search_api(
         graph, pattern, induced=True, return_count=return_count,
         size_limit=size_limit, time_limit=time_limit,

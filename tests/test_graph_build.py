@@ -96,6 +96,22 @@ def test_dense_remap_ascending(spark):
     assert got == [(0, 7), (1, 50), (2, 100)]
 
 
+def test_write_iceberg_gated_in_this_image(spark):
+    """write_iceberg: works when an Iceberg catalog is configured; raises a
+    clear RuntimeError here (no runtime jars in the image)."""
+    import pytest as _pytest
+
+    g = Graph.from_edges(spark, [1, 2], [2, 3], num_partitions=2)
+    try:
+        g.write_iceberg("ice_probe")
+    except RuntimeError as e:
+        assert "Iceberg" in str(e)
+    else:  # jars present: verify round-trip then clean up
+        assert spark.table("ice_probe_edges").count() == g.edges.count()
+        spark.sql("DROP TABLE IF EXISTS ice_probe_edges")
+        spark.sql("DROP TABLE IF EXISTS ice_probe_vertices")
+
+
 def test_bucketed_table_roundtrip_no_shuffle(spark, tmp_path):
     """write_bucketed/from_table: reloaded graph answers a src-keyed
     aggregation with NO exchange before the partial aggregate (the

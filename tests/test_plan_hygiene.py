@@ -75,6 +75,73 @@ def test_pagerank_iteration_plan_shape(spark):
     dangling.unpersist()
 
 
+def test_squares_wedge_plan_no_global_exchange(spark):
+    """The CN square counter's plan: every exchange is a hash partitioning
+    (no SinglePartition exchange anywhere), and the pair-count aggregation
+    is map-side combined before its shuffle."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    g = Graph.from_edges(
+        spark,
+        li.select(
+            F.pmod(F.col("l_orderkey"), F.lit(301)).alias("src"),
+            F.pmod(F.col("l_partkey"), F.lit(301)).alias("dst"),
+            F.lit(1.0).alias("weight"),
+        ).filter(F.col("src") != F.col("dst")),
+        num_partitions=8,
+    )
+    from arkouda_njit_spark.operators.triangles import _undirected_simple_edges
+
+    und = _undirected_simple_edges(g)
+    sym = und.select(F.col("u").alias("mid"), F.col("v").alias("end")).unionAll(
+        und.select(F.col("v").alias("mid"), F.col("u").alias("end"))
+    )
+    deg = sym.groupBy("mid").agg(F.count("*").alias("d")).select(
+        F.col("mid").alias("vid"), "d"
+    )
+    adj = (
+        sym.join(deg.select(F.col("vid").alias("mid"), F.col("d").alias("dm")), "mid")
+        .join(deg.select(F.col("vid").alias("end"), F.col("d").alias("de")), "end")
+    )
+    w1 = adj.filter(
+        (F.col("de") > F.col("dm"))
+        | ((F.col("de") == F.col("dm")) & (F.col("end") < F.col("mid")))
+    ).select("mid", F.col("end").alias("a"), F.col("de").alias("da"))
+    w2 = adj.select("mid", F.col("end").alias("b"), F.col("de").alias("db"))
+    counts = (
+        w1.join(w2, "mid")
+        .filter(
+            (F.col("da") > F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    plan = _plan(counts)
+    assert "Exchange SinglePartition" not in plan
+    assert "partial_count" in plan  # map-side combine below the pair shuffle
+
+
+def test_jaccard_salted_hot_path_no_single_partition(spark):
+    """Hot-middle-salted Jaccard: the full plan (forced onto the salted
+    path) contains no SinglePartition exchange — the hub's cross product
+    is spread over (mid, salt) keys."""
+    from arkouda_njit_spark.operators import jaccard_coefficients
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    g = Graph.from_edges(
+        spark,
+        li.select(
+            F.pmod(F.col("l_orderkey"), F.lit(301)).alias("src"),
+            F.pmod(F.col("l_partkey"), F.lit(301)).alias("dst"),
+            F.lit(1.0).alias("weight"),
+        ).filter(F.col("src") != F.col("dst")),
+        num_partitions=8,
+    )
+    out = jaccard_coefficients(g, hub_threshold=5, salt_buckets=4)
+    plan = _plan(out)
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_state_join_strategy_dispatch(spark):
     small = spark.range(10).select(F.col("id").alias("vid"), F.lit(1.0).alias("rank"))
     hinted_small = state_join_side(small, n_vertices=10)

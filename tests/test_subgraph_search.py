@@ -122,6 +122,14 @@ def test_probability_reorder_same_results(spark, g18):
     assert a == b and len(a) == _nx_iso_count(SRC, DST, PSRC, PDST)
 
 
+def test_algorithm_type_parity(spark, g18):
+    h = DiGraph.from_edges(spark, PSRC, PDST)
+    n = _nx_iso_count(SRC, DST, PSRC, PDST)
+    assert subgraph_isomorphism(g18, h, return_count=True, algorithm_type="ps") == n
+    with pytest.raises(ValueError, match="algorithm_type"):
+        subgraph_isomorphism(g18, h, algorithm_type="bogus")
+
+
 def test_return_isos_as_modes(spark, g18):
     """edges / complete / count views (methods.py:460-467)."""
     h = DiGraph.from_edges(spark, PSRC, PDST)
