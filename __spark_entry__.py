@@ -335,6 +335,25 @@ def q_embedding_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_exhaustive(spark, sf_dir):
+    """IVF ANN with nprobe == nlist (exhaustive probing): must equal the
+    exact brute-force top-k, so the quantizer + probe + rerank pipeline is
+    fully oracle-checked; the nprobe < nlist scale path is covered by the
+    pytest recall test."""
+    from arkouda_njit_spark.functions import ann_ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_ivf_topk(emb, queries, dim=dim, k=5, nlist=8, nprobe=8).select(
+        F.col("query_id").cast("long"),
+        F.col("vec_id").cast("long"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     return ev.groupBy(
@@ -762,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sigs": q_minhash_sigs,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
+        "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "events_top_users": q_events_top_users,
@@ -1176,6 +1196,23 @@ SELECT a, b,
 FROM inter JOIN sz sa ON inter.a = sa.doc_id
            JOIN sz sb ON inter.b = sb.doc_id
 WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5
+""",
+        # IVF with exhaustive probing returns the exact top-k: same oracle
+        "ann_ivf_exhaustive": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.qid AS query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.qv AS DOUBLE[])) AS cos
+  FROM embeddings e, q
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, ROUND(CAST(cos AS DOUBLE), 6) AS cosine
+FROM ranked WHERE rn <= 5
 """,
         "embedding_topk": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),

@@ -14,8 +14,10 @@ from .multimodal import (
     sample_frames,
 )
 from .similarity import (
+    ann_ivf_topk,
     ann_lsh_topk,
     cosine_topk,
+    ivf_build,
     embedding_near_duplicates,
     with_normalized,
 )
@@ -39,6 +41,8 @@ __all__ = [
     "simhash_near_duplicates",
     "cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ivf_build",
     "embedding_near_duplicates",
     "with_normalized",
     "token_count",

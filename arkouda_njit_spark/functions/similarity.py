@@ -142,6 +142,117 @@ def ann_lsh_topk(
     )
 
 
+def ivf_build(
+    corpus: DataFrame,
+    dim: int,
+    nlist: int = 64,
+    iters: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: deterministic spherical k-means.
+
+    Init = the ``nlist`` corpus vectors with the smallest
+    ``xxhash64(id, seed)`` (partition-invariant, no rand()); ``iters``
+    Lloyd rounds — assignment is an argmax-cosine against the broadcast
+    centroid table, the update re-averages per list element-wise
+    (posexplode → groupBy(list, pos) avg) and re-normalizes (spherical).
+    Returns (corpus tagged with ``list_id``, centroids (list_id, cvec)).
+    Centroids are nlist×dim — driver-resident by design (a 4096×1024
+    table is 16 MB); the corpus is only ever scanned/aggregated."""
+    spark = corpus.sparkSession
+    nv = with_normalized(corpus, vec_col).select(F.col(id_col), "nvec").persist()
+
+    init = (
+        nv.withColumn("_h", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy("_h")
+        .limit(nlist)
+        .select("nvec")
+        .collect()
+    )
+    cent_rows = [(i, [float(x) for x in r["nvec"]]) for i, r in enumerate(init)]
+
+    def assign(cents_df):
+        scored = nv.crossJoin(F.broadcast(cents_df)).select(
+            F.col(id_col),
+            "nvec",
+            "list_id",
+            _dot(F.col("nvec"), F.col("cvec")).alias("cos"),
+        )
+        # argmax cosine, ties to the lowest list_id — min over struct
+        best = scored.groupBy(id_col).agg(
+            F.min(F.struct((-F.col("cos")).alias("nc"), F.col("list_id").alias("l"))).alias("b")
+        ).select(F.col(id_col), F.col("b.l").alias("list_id"))
+        return nv.join(best, id_col)
+
+    for _ in range(iters):
+        cents_df = spark.createDataFrame(cent_rows, "list_id int, cvec array<double>")
+        assigned = assign(cents_df)
+        means = (
+            assigned.select("list_id", F.posexplode("nvec").alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("list_id", F.transform("pm", lambda s: s["m"]).alias("cvec"))
+            .collect()
+        )
+        updated = {r["list_id"]: r["cvec"] for r in means}
+        new_rows = []
+        for lid, old in cent_rows:
+            vec = updated.get(lid, old)  # empty list keeps its centroid
+            n = sum(x * x for x in vec) ** 0.5
+            new_rows.append((lid, [x / n for x in vec] if n > 0 else old))
+        cent_rows = new_rows
+
+    cents_df = spark.createDataFrame(cent_rows, "list_id int, cvec array<double>")
+    tagged = assign(cents_df)
+    nv.unpersist()
+    return tagged, cents_df
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k via IVF: probe the ``nprobe`` nearest inverted
+    lists per query, exact cosine rerank within them. With
+    nprobe == nlist this is exhaustive (== cosine_topk). The scale path:
+    candidates come from an equi-join on ``list_id`` (≈ n·nprobe/nlist
+    comparisons instead of a full scan), and the quantizer build touches
+    the corpus only through scans and aggregations."""
+    tagged, cents = ivf_build(corpus, dim, nlist, iters, seed, id_col, vec_col)
+    q = with_normalized(queries, vec_col).select(F.col(query_id_col), F.col("nvec").alias("qv"))
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        query_id_col, "qv", "list_id", _dot(F.col("qv"), F.col("cvec")).alias("cos")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.col("list_id"))
+    probes = (
+        qc.withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") <= nprobe)
+        .select(query_id_col, "qv", "list_id")
+    )
+    cands = tagged.join(F.broadcast(probes), "list_id").select(
+        query_id_col, id_col, _dot(F.col("nvec"), F.col("qv")).alias("cosine")
+    )
+    wk = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        cands.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def embedding_near_duplicates(
     corpus: DataFrame,
     dim: int,

@@ -72,6 +72,53 @@ def test_ann_lsh_recall(spark, emb, emb_np):
     assert len(e & a) / len(e) > 0.4
 
 
+def test_ann_ivf_exhaustive_equals_exact(spark, emb, emb_np):
+    """nprobe == nlist probes every inverted list: IVF must return exactly
+    the brute-force top-k (same ids, same order)."""
+    from arkouda_njit_spark.functions import ann_ivf_topk
+
+    ids, mat = emb_np
+    dim = mat.shape[1]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ann_ivf_topk(
+            emb, queries, dim=dim, k=5, nlist=8, nprobe=8
+        ).collect()
+    }
+    assert ivf == exact
+
+
+def test_ann_ivf_recall_and_determinism(spark, emb, emb_np):
+    from arkouda_njit_spark.functions import ann_ivf_topk
+
+    ids, mat = emb_np
+    dim = mat.shape[1]
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=5)
+    a1 = ann_ivf_topk(emb, queries, dim=dim, k=5, nlist=8, nprobe=3)
+    # each query's own list is always probed -> finds itself at rank 1
+    self_hits = a1.filter(
+        (F.col("query_id") == F.col("vec_id")) & (F.col("rank") == 1)
+    ).count()
+    assert self_hits == 10
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    s1 = {(r["query_id"], r["vec_id"]) for r in a1.collect()}
+    assert len(e & s1) / len(e) > 0.4
+    # deterministic quantizer: a second build returns the identical set
+    a2 = ann_ivf_topk(emb, queries, dim=dim, k=5, nlist=8, nprobe=3)
+    s2 = {(r["query_id"], r["vec_id"]) for r in a2.collect()}
+    assert s1 == s2
+
+
 def test_embedding_near_duplicates_self_consistency(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),
