@@ -76,30 +76,44 @@ def _support(edges: DataFrame) -> DataFrame:
     )
 
 
-def _truss_edges(edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
-    """Surviving (u,v) edge set of the k-truss (support >= k-2 fixpoint)."""
-    cur = edges.localCheckpoint(eager=True)
-    for _ in range(max_rounds):
-        n_before = cur.count()
-        if n_before == 0:
-            break
-        nxt = (
-            _support(cur)
-            .filter(F.col("support") >= k - 2)
-            .select("u", "v")
-            .localCheckpoint(eager=True)
-        )
-        if nxt.count() == n_before:
-            cur = nxt
-            break
-        cur = nxt
-    return cur
+def _truss_edges(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 100,
+    checkpoint_dir: str | None = None,
+    collect_partition_metrics: bool = False,
+) -> DataFrame:
+    """Surviving (u,v) edge set of the k-truss (support >= k-2 fixpoint).
+
+    Runs on the shared FixpointLoop, so peeling gets the same north-rule
+    machinery as PR/CC/LPA: lineage truncation per round, per-round
+    (per-partition) metrics, durable parquet epochs + mid-algorithm resume
+    when ``checkpoint_dir`` is set (the reference materializes an
+    EdgeDeleted array per round, TrussMsg.chpl:222-617)."""
+    from ..plans.iterate import FixpointLoop
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        return _support(state).filter(F.col("support") >= k - 2).select("u", "v")
+
+    def removed(prev: DataFrame, cur: DataFrame) -> float:
+        return float(prev.count() - cur.count())
+
+    loop = FixpointLoop(
+        f"ktruss{k}",
+        step,
+        convergence=removed,
+        max_iterations=max_rounds,
+        tol=0.0,
+        checkpoint_dir=checkpoint_dir,
+        collect_partition_metrics=collect_partition_metrics,
+    )
+    return loop.run(edges)
 
 
-def k_truss(graph: Graph, k: int) -> DataFrame:
+def k_truss(graph: Graph, k: int, checkpoint_dir: str | None = None) -> DataFrame:
     """(u, v, value) over canonical u<v edges: -1 survives, k-1 deleted."""
     edges = _undirected_simple_edges(graph)
-    kept = _truss_edges(edges, k)
+    kept = _truss_edges(edges, k, checkpoint_dir=checkpoint_dir)
     return edges.join(kept.withColumn("_kept", F.lit(1)), ["u", "v"], "left").select(
         "u",
         "v",

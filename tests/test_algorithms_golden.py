@@ -68,6 +68,23 @@ def test_k_truss_4_survivors(spark):
     assert set(vals) == {-1, 3}
 
 
+def test_k_truss_checkpointed_resume(spark, tmp_path):
+    """k-truss peeling on FixpointLoop: durable epochs + metrics are
+    written, and a fresh call resumes from the last epoch with identical
+    output (north-rule mid-algorithm resume, same machinery as PR/CC)."""
+    import os
+
+    ckpt = str(tmp_path / "truss_ck")
+    graph = Graph.from_edges(spark, TRUSS10_SRC, TRUSS10_DST)
+    a = _canonical_edge_values(k_truss(graph, 5, checkpoint_dir=ckpt), "value")
+    assert a == [4] * 20
+    epochs = [e for e in os.listdir(ckpt) if e.startswith("epoch=")]
+    assert epochs and os.path.exists(os.path.join(ckpt, "metrics.json"))
+    # resume path: rerun with the same dir — restarts from the final epoch
+    b = _canonical_edge_values(k_truss(graph, 5, checkpoint_dir=ckpt), "value")
+    assert b == a
+
+
 def test_diameter_golden(spark):
     graph = Graph.from_edges(spark, CC17_SRC, CC17_DST)
     assert diameter(graph) == 5  # reference convention, algorithm_test.py:287-295
