@@ -75,6 +75,50 @@ def test_squares_random(spark, edges):
     assert squares(g) == n4
 
 
+digraph_edges = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=2,
+    max_size=30,
+)
+patterns = st.sampled_from(
+    [
+        [(0, 1), (1, 2)],           # path
+        [(0, 1), (1, 2), (2, 0)],   # 3-cycle
+        [(0, 1), (0, 2)],           # out-fork
+        [(1, 0), (2, 0)],           # in-fork
+    ]
+)
+
+
+@given(edges=digraph_edges, pattern=patterns)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_subgraph_isomorphism_random(spark, edges, pattern):
+    """Random digraphs × canonical small patterns vs nx.DiGraphMatcher —
+    both induced and monomorphism counts."""
+    import networkx as nx
+
+    from arkouda_njit_spark import DiGraph
+    from arkouda_njit_spark.operators import subgraph_search
+
+    clean = [(a, b) for a, b in edges if a != b]
+    if not clean:
+        return
+    g = DiGraph.from_edges(spark, [a for a, _ in clean], [b for _, b in clean])
+    G = nx.DiGraph(clean)
+    H = nx.DiGraph(pattern)
+    GM = nx.algorithms.isomorphism.DiGraphMatcher(G, H)
+    want_iso = sum(1 for _ in GM.subgraph_isomorphisms_iter())
+    want_mono = sum(1 for _ in GM.subgraph_monomorphisms_iter())
+    # subgraph_search works in vid space; counts are label-invariant
+    got_iso = subgraph_search(g, pattern, induced=True).count()
+    got_mono = subgraph_search(g, pattern, induced=False).count()
+    assert (got_iso, got_mono) == (want_iso, want_mono)
+
+
 @given(edges=edge_lists)
 @SLOW
 def test_pagerank_random(spark, edges):
