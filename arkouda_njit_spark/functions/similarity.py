@@ -171,6 +171,11 @@ def ivf_build(
         .select("nvec")
         .collect()
     )
+    if init and len(init[0]["nvec"]) != dim:
+        raise ValueError(
+            f"ivf_build: dim={dim} but vectors have {len(init[0]['nvec'])} "
+            f"components"
+        )
     cent_rows = [(i, [float(x) for x in r["nvec"]]) for i, r in enumerate(init)]
 
     def assign(cents_df):

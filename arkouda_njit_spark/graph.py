@@ -109,6 +109,13 @@ class Graph:
         weighted: bool | None = None,
         no_self_loops: bool = True,
     ) -> "Graph":
+        if cls.directed and not no_self_loops:
+            # the reference DiGraph unconditionally removes self-loops
+            # (digraphclass.py:118-127) — refuse rather than silently drop
+            raise ValueError(
+                "DiGraph always removes self-loops (digraphclass.py:118-127); "
+                "no_self_loops=False is only meaningful for undirected Graph"
+            )
         raw = _as_edge_df(spark, src, dst, wgt)
         if weighted is None:
             weighted = not isinstance(src, DataFrame) and wgt is not None

@@ -71,19 +71,26 @@ def jaccard_coefficients(
         w2c = cold.select("mid", F.col("end").alias("b"))
         wedges_cold = w1c.join(w2c, "mid").filter(F.col("a") < F.col("b"))
 
-        # hot middles: spread the per-key cross product over salt_buckets
-        # cells by salting the right leg and replicating the left leg
+        # hot middles: TWO-sided salt — each leg carries its own hash
+        # bucket and is replicated across the other side's buckets, so the
+        # hub's cross product decomposes into S² cells of (deg/S)² rows
+        # each (one-sided salting would still push deg²/S rows through
+        # every single cell). Each (a, b) pair meets exactly once, at
+        # (salt(a), salt(b)).
         S = salt_buckets
+        salts = F.explode(F.array(*[F.lit(i) for i in range(S)]))
+        w1h = hot.select(
+            "mid",
+            F.col("end").alias("a"),
+            F.pmod(F.xxhash64("end"), F.lit(S)).alias("_sa"),
+        ).withColumn("_sb", salts)
         w2h = hot.select(
             "mid",
             F.col("end").alias("b"),
             F.pmod(F.xxhash64("end"), F.lit(S)).alias("_sb"),
-        )
-        w1h = hot.select("mid", F.col("end").alias("a")).withColumn(
-            "_sb", F.explode(F.array(*[F.lit(i) for i in range(S)]))
-        )
+        ).withColumn("_sa", salts)
         wedges_hot = (
-            w1h.join(w2h, ["mid", "_sb"]).filter(F.col("a") < F.col("b"))
+            w1h.join(w2h, ["mid", "_sa", "_sb"]).filter(F.col("a") < F.col("b"))
             .select("mid", "a", "b")
         )
         common = (

@@ -21,12 +21,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from .triangles import _undirected_simple_edges, triangle_rows
+from .triangles import _triangle_rows_cached
 
 
 def triangle_centrality(graph: Graph) -> DataFrame:
     """(vid, centrality) for every vertex."""
-    tri = triangle_rows(graph).persist()
+    closed, handles = _triangle_rows_cached(graph)
+    und = handles[0]  # the persisted canonical pair set — reused below
+    # materialize the triangle rows once (they feed four consumers), then
+    # the enumeration caches can go
+    tri = closed.localCheckpoint(eager=True)
     t_total = tri.count()
 
     # T(v): triangles per vertex.
@@ -65,7 +69,6 @@ def triangle_centrality(graph: Graph) -> DataFrame:
     )
 
     # Σ_{w ∈ N(v)} T(w) over all neighbors (simple edges, no self-loops).
-    und = _undirected_simple_edges(graph)
     sym = und.select(F.col("u").alias("vid"), F.col("v").alias("w")).unionAll(
         und.select(F.col("v").alias("vid"), F.col("u").alias("w"))
     )
@@ -89,6 +92,10 @@ def triangle_centrality(graph: Graph) -> DataFrame:
                 / F.lit(float(t_total))
             ).alias("centrality"),
         )
+        # V-sized result materialized once so the enumeration caches can
+        # be released before returning
+        .localCheckpoint(eager=True)
     )
-    tri.unpersist()
+    for h in handles:
+        h.unpersist()
     return out

@@ -75,12 +75,12 @@ def oriented_edges(graph: Graph, und: DataFrame | None = None) -> DataFrame:
     return ordered
 
 
-def triangle_rows(graph: Graph) -> DataFrame:
-    """All triangles, one row each: (a, b, c) with no canonical meaning
-    beyond distinctness (a = pivot, b < c in vid order)."""
+def _triangle_rows_cached(graph: Graph) -> tuple[DataFrame, list[DataFrame]]:
+    """(triangle rows, cache handles): the pair set and oriented table are
+    persisted ONCE (one symmetrize+distinct shuffle feeds both the degree
+    orientation and the closing-edge semi-join); the caller unpersists the
+    handles after its terminal action."""
     P = graph.num_partitions
-    # One symmetrize+distinct shuffle feeds BOTH the orientation (degree
-    # count + remap joins) and the closing-edge semi-join.
     und = _undirected_simple_edges(graph).persist()
     o = oriented_edges(graph, und=und).repartition(P, "lo").persist()
     w1 = o.select(F.col("lo").alias("p"), F.col("hi").alias("b"))
@@ -91,12 +91,24 @@ def triangle_rows(graph: Graph) -> DataFrame:
         (F.col("b") == F.col("u")) & (F.col("c") == F.col("v")),
         "left_semi",
     ).select(F.col("p").alias("a"), "b", "c")
-    return closed
+    return closed, [und, o]
+
+
+def triangle_rows(graph: Graph) -> DataFrame:
+    """All triangles, one row each: (a, b, c) with no canonical meaning
+    beyond distinctness (a = pivot, b < c in vid order). The returned plan
+    references two cached tables whose lifetime the session manages (LRU);
+    the terminal operators below release them eagerly instead."""
+    return _triangle_rows_cached(graph)[0]
 
 
 def triangle_count(graph: Graph) -> int:
     """Number of distinct triangles (= reference total / 3)."""
-    return triangle_rows(graph).count()
+    tri, handles = _triangle_rows_cached(graph)
+    n = tri.count()
+    for h in handles:
+        h.unpersist()
+    return n
 
 
 def triangles_per_vertex(graph: Graph, vertices: list[int] | None = None) -> DataFrame:
@@ -104,14 +116,17 @@ def triangles_per_vertex(graph: Graph, vertices: list[int] | None = None) -> Dat
     per-vertex variant (TriangleCount.chpl:51-85). ``vertices`` filters to
     the given *original labels* in their given order is the caller's
     concern; here vid-space counts are returned."""
-    tri = triangle_rows(graph)
+    tri, handles = _triangle_rows_cached(graph)
     incid = (
         tri.select(F.col("a").alias("vid"))
         .unionAll(tri.select(F.col("b").alias("vid")))
         .unionAll(tri.select(F.col("c").alias("vid")))
         .groupBy("vid")
         .agg(F.count("*").alias("triangles"))
+        .localCheckpoint(eager=True)  # V-sized; lets the caches release now
     )
+    for h in handles:
+        h.unpersist()
     out = graph.vertices.join(incid, "vid", "left").select(
         "vid", F.coalesce("triangles", F.lit(0)).alias("triangles")
     )

@@ -204,9 +204,15 @@ def _wcc_distributed(
             F.count("*").alias("n"), (F.sum("deg") / 2).alias("m")
         ).persist()
 
-        # 1) pendant trim (removeDegreeOne) — drop deg<=1 vertices, redo CC
-        pend = deg.filter(F.col("deg") <= 1).select("pk", "vid")
-        if not pend.isEmpty():
+        # 1) pendant trim TO FIXPOINT (removeDegreeOne) — layered pendant
+        # paths peel fully inside one round instead of consuming one round
+        # per layer
+        trimmed = False
+        while True:
+            pend = deg.filter(F.col("deg") <= 1).select("pk", "vid")
+            if pend.isEmpty():
+                break
+            trimmed = True
             keep = deg.filter(F.col("deg") > 1).select("pk", "vid")
             work = (
                 work.join(keep.withColumnRenamed("vid", "src"), ["pk", "src"], "left_semi")
@@ -214,11 +220,20 @@ def _wcc_distributed(
                 .localCheckpoint(eager=True)
             )
             deg.unpersist()
+            deg = (
+                work.select("pk", F.col("src").alias("vid"))
+                .unionAll(work.select("pk", F.col("dst").alias("vid")))
+                .groupBy("pk", "vid")
+                .agg(F.count("*").alias("deg"))
+            ).persist()
+        if trimmed:
+            # re-derive piece identity (trim can disconnect) next round
             stats.unpersist()
+            deg.unpersist()
             continue
 
         # 2) pieces that now fit: exact per-piece recursion in one task each
-        fit = stats.filter(F.col("m") <= max_cluster_edges).select("pk")
+        fit = stats.filter(F.col("m") <= max_cluster_edges).select("pk").persist()
         fitted = work.join(fit, "pk", "left_semi")
         if not fitted.isEmpty():
             results.append(
@@ -226,9 +241,14 @@ def _wcc_distributed(
                 .localCheckpoint(eager=True)
             )
         work = work.join(fit, "pk", "left_anti").localCheckpoint(eager=True)
+        # restrict the per-piece tables to the still-oversized pieces —
+        # otherwise fit pieces would ALSO be blanket-accepted below
+        # (double emission)
+        deg_rem = deg.join(fit, "pk", "left_anti").persist()
+        stats_rem = stats.join(fit, "pk", "left_anti").persist()
         if work.isEmpty():
-            deg.unpersist()
-            stats.unpersist()
+            for df in (deg, stats, fit, deg_rem, stats_rem):
+                df.unpersist()
             break
 
         # 3) oversized pieces: LPA-guided approximate cut
@@ -249,23 +269,35 @@ def _wcc_distributed(
         best = cuts.groupBy("pk").agg(
             F.min(F.struct("cut", "g")).alias("b")
         ).select("pk", F.col("b.cut").alias("cut"), F.col("b.g").alias("g"))
-        crit_pk = stats.select("pk", _criterion_col(criterion_name, F.col("n"), mult).alias("crit"))
+        crit_pk = stats_rem.select(
+            "pk", _criterion_col(criterion_name, F.col("n"), mult).alias("crit")
+        )
         decision = best.join(crit_pk, "pk")
         # accept: single LPA community (no cuts row) or cheapest boundary > crit
-        accepted = stats.join(
+        accepted = stats_rem.join(
             decision.filter(F.col("cut") <= F.col("crit")).select("pk"), "pk", "left_anti"
         ).select("pk")
-        acc_verts = deg.join(accepted, "pk", "left_semi").select("pk", "vid")
+        acc_verts = deg_rem.join(accepted, "pk", "left_semi").select("pk", "vid")
         if not acc_verts.isEmpty():
+            # emit via a min-join: never materializes a piece's vertex list
+            # in one aggregation row (a piece here is by definition large)
+            mins = acc_verts.groupBy("pk").agg(F.min("vid").alias("cluster_min"))
             results.append(
-                acc_verts.groupBy("pk")
-                .agg(F.min("vid").alias("cluster_min"), F.collect_list("vid").alias("vs"))
-                .select(F.explode("vs").alias("vertex"), "cluster_min")
+                acc_verts.join(mins, "pk")
+                .select(F.col("vid").alias("vertex"), "cluster_min")
                 .localCheckpoint(eager=True)
             )
-        # split: remove the boundary edges of the chosen community; parts
-        # with n <= post_min are dropped next round by the recursion gate
+        # split: remove the boundary edges of the chosen community; sides
+        # with n <= post_min do NOT recurse (reference recursion gate,
+        # WellConnectedComponents.chpl:342-355) — drop their edges here
         splitting = decision.filter(F.col("cut") <= F.col("crit")).select("pk", "g")
+        side_sizes = (
+            lbl.join(splitting, "pk")
+            .select("pk", (F.col("lbl") == F.col("g")).alias("side"), "vid")
+            .groupBy("pk", "side")
+            .agg(F.count("*").alias("sn"))
+        )
+        keep_sides = side_sizes.filter(F.col("sn") > post_min).select("pk", "side")
         nxt = (
             work.join(ls, ["pk", "src"]).join(ld, ["pk", "dst"])
             .join(splitting, "pk")
@@ -273,12 +305,25 @@ def _wcc_distributed(
                 ((F.col("l1") == F.col("g")) & (F.col("l2") == F.col("g")))
                 | ((F.col("l1") != F.col("g")) & (F.col("l2") != F.col("g")))
             )
+            .withColumn("side", F.col("l1") == F.col("g"))
+            .join(keep_sides, ["pk", "side"], "left_semi")
             .select("pk", "src", "dst")
         )
         work = nxt.localCheckpoint(eager=True)
-        tagged.unpersist()
-        deg.unpersist()
-        stats.unpersist()
+        for df in (tagged, deg, stats, fit, deg_rem, stats_rem):
+            df.unpersist()
+    else:
+        # max_rounds exhausted with work remaining: those pieces get no
+        # decision — surface it instead of silently dropping them
+        if not work.isEmpty():
+            import warnings
+
+            n_left = work.select("pk").distinct().count()
+            warnings.warn(
+                f"well_connected_components: distributed path exhausted "
+                f"max_rounds with {n_left} unresolved oversized pieces; "
+                f"their vertices are omitted from the result"
+            )
     if not results:
         return empty
     out = results[0]
@@ -362,6 +407,9 @@ def well_connected_components(
                 out_schema,
             )
         )
+    # materialize the assignment (output-sized) so the intra cache frees
+    raw = raw.localCheckpoint(eager=True)
+    intra.unpersist()
     # dense final ids by ascending cluster-min — two-pass dense rank, NOT a
     # global window (a no-partitionBy Window serializes through one task)
     from ..plans.partitioning import dense_rank_ids

@@ -89,6 +89,20 @@ class StreamingTriangleCounter:
         if os.path.exists(self.manifest_path):
             with open(self.manifest_path) as f:
                 return json.load(f)
+        # legacy layout (pre-manifest): count.json + edges/ — migrate
+        # rather than silently resetting accumulated state to zero
+        legacy_count = os.path.join(self.state_dir, "count.json")
+        legacy_edges = os.path.join(self.state_dir, "edges")
+        if os.path.exists(legacy_count):
+            with open(legacy_count) as f:
+                old = json.load(f)
+            has_edges = os.path.exists(os.path.join(legacy_edges, "_SUCCESS"))
+            return {
+                "triangles": old.get("triangles", 0),
+                "epoch": old.get("epoch"),
+                "edges_dir": "edges" if has_edges else None,
+                "seq": 0,
+            }
         return {"triangles": 0, "epoch": None, "edges_dir": None, "seq": 0}
 
     def _promote(self, manifest: dict) -> None:

@@ -96,6 +96,13 @@ def test_dense_remap_ascending(spark):
     assert got == [(0, 7), (1, 50), (2, 100)]
 
 
+def test_digraph_rejects_keep_self_loops(spark):
+    # reference DiGraph unconditionally drops loops; silently accepting the
+    # flag would mislead callers
+    with pytest.raises(ValueError, match="self-loops"):
+        DiGraph.from_edges(spark, [1, 1], [1, 2], no_self_loops=False)
+
+
 def test_write_iceberg_gated_in_this_image(spark):
     """write_iceberg: works when an Iceberg catalog is configured; raises a
     clear RuntimeError here (no runtime jars in the image)."""

@@ -101,6 +101,29 @@ def test_streaming_triangle_epoch_replay_idempotent(spark, tmp_path):
     assert os.path.exists(os.path.join(counter.state_dir, m["edges_dir"], "_SUCCESS"))
 
 
+def test_streaming_triangle_legacy_state_migrates(spark, tmp_path):
+    """A state dir written by the pre-manifest layout (count.json +
+    edges/) is picked up instead of silently resetting to zero."""
+    import json
+    import os
+
+    state_dir = tmp_path / "legacy"
+    state_dir.mkdir()
+    spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "u long, v long").write.parquet(
+        str(state_dir / "edges")
+    )
+    with open(state_dir / "count.json", "w") as f:
+        json.dump({"triangles": 1, "epoch": 4}, f)
+    counter = StreamingTriangleCounter(spark, str(state_dir))
+    assert counter.total == 1
+    # new edge closing against the LEGACY edge set is counted
+    t = counter.process_batch(
+        spark.createDataFrame([(0, 3), (1, 3)], "src long, dst long"), epoch_id=5
+    )
+    assert t == 2
+    assert os.path.exists(counter.manifest_path)  # migrated to new layout
+
+
 def test_streaming_triangle_query(spark, tmp_path):
     """End-to-end: file-source stream -> foreachBatch counter."""
     src_dir = tmp_path / "edges_in"

@@ -99,6 +99,47 @@ def test_wcc_oversized_cluster_distributed_path(spark):
     assert sorted(map(sorted, clusters.values())) == sorted(
         map(sorted, eclusters.values())
     )
+    # threshold between split-size and whole-size exercises the fit->exact
+    # leg (after one split each 190-edge clique fits 250): result identical
+    # and every vertex assigned exactly once (no double emission)
+    mid = well_connected_components(edf, cdf, max_cluster_edges=250)
+    rows = mid.collect()
+    verts = [r["vertex"] for r in rows]
+    assert len(verts) == len(set(verts)), "vertex assigned to two clusters"
+    mclusters = {}
+    for r in rows:
+        mclusters.setdefault(r["cluster"], set()).add(r["vertex"])
+    assert sorted(map(sorted, mclusters.values())) == sorted(
+        map(sorted, eclusters.values())
+    )
+
+
+def test_wcc_distributed_mixed_fit_and_oversized_round(spark):
+    """Regression: a round where one split side fits (routed to the exact
+    runner) while the other stays oversized (LPA-accepted) must assign
+    every vertex exactly once — the fit piece must not ALSO be
+    blanket-accepted (the double-emission bug)."""
+    edges = []
+    for base, size in ((0, 20), (100, 30)):  # asymmetric cliques
+        for i in range(size):
+            for j in range(i + 1, size):
+                edges.append((base + i, base + j))
+    edges.append((0, 100))  # bridge
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    members = list(range(20)) + list(range(100, 130))
+    cdf = spark.createDataFrame([(v, 1) for v in members], "node long, cluster long")
+    # 625 edges total > 250 -> split; side A 190 <= 250 fits, side B 435 > 250
+    got = well_connected_components(edf, cdf, max_cluster_edges=250)
+    rows = got.collect()
+    verts = [r["vertex"] for r in rows]
+    assert len(verts) == len(set(verts)), "vertex assigned to two clusters"
+    clusters = {}
+    for r in rows:
+        clusters.setdefault(r["cluster"], set()).add(r["vertex"])
+    assert sorted(map(sorted, clusters.values())) == [
+        sorted(range(20)),
+        sorted(range(100, 130)),
+    ]
 
 
 def test_wcc_mult_requires_value(spark):
