@@ -172,9 +172,10 @@ def ivf_build(
         .collect()
     )
     if init and len(init[0]["nvec"]) != dim:
+        nv.unpersist()  # don't leak the corpus cache on the error path
         raise ValueError(
             f"ivf_build: dim={dim} but vectors have {len(init[0]['nvec'])} "
-            f"components"
+            f"components (first-row check)"
         )
     cent_rows = [(i, [float(x) for x in r["nvec"]]) for i, r in enumerate(init)]
 

@@ -28,9 +28,10 @@ def triangle_centrality(graph: Graph) -> DataFrame:
     """(vid, centrality) for every vertex."""
     closed, handles = _triangle_rows_cached(graph)
     und = handles[0]  # the persisted canonical pair set — reused below
-    # materialize the triangle rows once (they feed four consumers), then
-    # the enumeration caches can go
-    tri = closed.localCheckpoint(eager=True)
+    # cache the triangle rows (they feed four consumers); released
+    # deterministically after the V-sized result is materialized below —
+    # a localCheckpoint here would linger until driver GC
+    tri = closed.persist()
     t_total = tri.count()
 
     # T(v): triangles per vertex.
@@ -96,6 +97,7 @@ def triangle_centrality(graph: Graph) -> DataFrame:
         # be released before returning
         .localCheckpoint(eager=True)
     )
+    tri.unpersist()
     for h in handles:
         h.unpersist()
     return out

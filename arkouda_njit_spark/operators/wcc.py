@@ -130,20 +130,24 @@ def _mini_lpa(edges: DataFrame, rounds: int = 8) -> DataFrame:
         .withColumn("lbl", F.col("vid"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(rounds):
+    for _r in range(rounds):
         hist = (
             sym.join(state.select("pk", F.col("vid").alias("src"), "lbl"), ["pk", "src"])
             .groupBy("pk", F.col("dst").alias("vid"), "lbl")
             .agg(F.count("*").alias("c"))
         )
-        # deterministic argmax: (count desc, label asc) via min on struct
-        best = hist.groupBy("pk", "vid").agg(
-            F.min(F.struct((-F.col("c")).alias("nc"), F.col("lbl").alias("l"))).alias("b")
-        ).select("pk", "vid", F.col("b.l").alias("lbl"))
+        # deterministic argmax: (count desc, label asc) via min on struct.
+        # Every in-piece vertex has degree >= 1 (vertices exist only as
+        # edge endpoints), so `best` covers the full vertex set — the new
+        # state IS best, no old-state fallback join needed.
         state = (
-            state.select("pk", "vid").join(best, ["pk", "vid"], "left")
-            .join(state.withColumnRenamed("lbl", "old"), ["pk", "vid"])
-            .select("pk", "vid", F.coalesce("lbl", "old").alias("lbl"))
+            hist.groupBy("pk", "vid")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("lbl").alias("l"))
+                ).alias("b")
+            )
+            .select("pk", "vid", F.col("b.l").alias("lbl"))
             .localCheckpoint(eager=True)
         )
     return state
@@ -185,7 +189,7 @@ def _wcc_distributed(
     results: list[DataFrame] = []
     empty = spark.createDataFrame([], out_schema)
 
-    for _ in range(max_rounds):
+    for _round in range(max_rounds):
         if work.isEmpty():
             break
         comp = _cc_per_piece(work)
@@ -204,35 +208,10 @@ def _wcc_distributed(
             F.count("*").alias("n"), (F.sum("deg") / 2).alias("m")
         ).persist()
 
-        # 1) pendant trim TO FIXPOINT (removeDegreeOne) — layered pendant
-        # paths peel fully inside one round instead of consuming one round
-        # per layer
-        trimmed = False
-        while True:
-            pend = deg.filter(F.col("deg") <= 1).select("pk", "vid")
-            if pend.isEmpty():
-                break
-            trimmed = True
-            keep = deg.filter(F.col("deg") > 1).select("pk", "vid")
-            work = (
-                work.join(keep.withColumnRenamed("vid", "src"), ["pk", "src"], "left_semi")
-                .join(keep.withColumnRenamed("vid", "dst"), ["pk", "dst"], "left_semi")
-                .localCheckpoint(eager=True)
-            )
-            deg.unpersist()
-            deg = (
-                work.select("pk", F.col("src").alias("vid"))
-                .unionAll(work.select("pk", F.col("dst").alias("vid")))
-                .groupBy("pk", "vid")
-                .agg(F.count("*").alias("deg"))
-            ).persist()
-        if trimmed:
-            # re-derive piece identity (trim can disconnect) next round
-            stats.unpersist()
-            deg.unpersist()
-            continue
-
-        # 2) pieces that now fit: exact per-piece recursion in one task each
+        # 1) pieces that fit go to the exact per-piece recursion FIRST —
+        # before any trimming, so small satellite pieces (where the
+        # criterion can be 0 and a pendant is legal in a well-connected
+        # cluster) get the exact path's semantics untouched
         fit = stats.filter(F.col("m") <= max_cluster_edges).select("pk").persist()
         fitted = work.join(fit, "pk", "left_semi")
         if not fitted.isEmpty():
@@ -250,6 +229,42 @@ def _wcc_distributed(
             for df in (deg, stats, fit, deg_rem, stats_rem):
                 df.unpersist()
             break
+
+        # 2) pendant trim on the still-oversized remainder (removeDegreeOne,
+        # WellConnectedComponentsDistributed.chpl:284-296 — the reference's
+        # distributed variant removes degree-one vertices unconditionally;
+        # oversized pieces have n >> 10, so criterion >= 1 and a pendant
+        # can never survive into a well-connected answer). Bounded
+        # iterations per round: a filament that trims slowly continues in
+        # later rounds instead of an unbounded driver loop.
+        trimmed = False
+        cur_deg = deg_rem
+        for _ in range(8):
+            pend = cur_deg.filter(F.col("deg") <= 1).select("pk", "vid")
+            if pend.isEmpty():
+                break
+            trimmed = True
+            keep = cur_deg.filter(F.col("deg") > 1).select("pk", "vid")
+            work = (
+                work.join(keep.withColumnRenamed("vid", "src"), ["pk", "src"], "left_semi")
+                .join(keep.withColumnRenamed("vid", "dst"), ["pk", "dst"], "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            if cur_deg is not deg_rem:
+                cur_deg.unpersist()
+            cur_deg = (
+                work.select("pk", F.col("src").alias("vid"))
+                .unionAll(work.select("pk", F.col("dst").alias("vid")))
+                .groupBy("pk", "vid")
+                .agg(F.count("*").alias("deg"))
+            ).persist()
+        if trimmed:
+            # re-derive piece identity (trim can disconnect) next round
+            for df in (deg, stats, fit, deg_rem, stats_rem):
+                df.unpersist()
+            if cur_deg is not deg_rem:
+                cur_deg.unpersist()
+            continue
 
         # 3) oversized pieces: LPA-guided approximate cut
         lbl = _mini_lpa(work)
@@ -273,9 +288,17 @@ def _wcc_distributed(
             "pk", _criterion_col(criterion_name, F.col("n"), mult).alias("crit")
         )
         decision = best.join(crit_pk, "pk")
+        # ONE materialized split set drives both the accept anti-join and
+        # the edge filter — a desynchronized pair re-creates the
+        # double-emission class of bug
+        splitting = (
+            decision.filter(F.col("cut") <= F.col("crit"))
+            .select("pk", "g")
+            .localCheckpoint(eager=True)
+        )
         # accept: single LPA community (no cuts row) or cheapest boundary > crit
         accepted = stats_rem.join(
-            decision.filter(F.col("cut") <= F.col("crit")).select("pk"), "pk", "left_anti"
+            splitting.select("pk"), "pk", "left_anti"
         ).select("pk")
         acc_verts = deg_rem.join(accepted, "pk", "left_semi").select("pk", "vid")
         if not acc_verts.isEmpty():
@@ -290,7 +313,6 @@ def _wcc_distributed(
         # split: remove the boundary edges of the chosen community; sides
         # with n <= post_min do NOT recurse (reference recursion gate,
         # WellConnectedComponents.chpl:342-355) — drop their edges here
-        splitting = decision.filter(F.col("cut") <= F.col("crit")).select("pk", "g")
         side_sizes = (
             lbl.join(splitting, "pk")
             .select("pk", (F.col("lbl") == F.col("g")).alias("side"), "vid")
@@ -313,17 +335,35 @@ def _wcc_distributed(
         for df in (tagged, deg, stats, fit, deg_rem, stats_rem):
             df.unpersist()
     else:
-        # max_rounds exhausted with work remaining: those pieces get no
-        # decision — surface it instead of silently dropping them
+        # max_rounds exhausted with work remaining: one final sweep routes
+        # anything that fits through the exact runner; only genuinely
+        # still-oversized pieces are dropped (with a warning)
         if not work.isEmpty():
-            import warnings
-
-            n_left = work.select("pk").distinct().count()
-            warnings.warn(
-                f"well_connected_components: distributed path exhausted "
-                f"max_rounds with {n_left} unresolved oversized pieces; "
-                f"their vertices are omitted from the result"
+            fdeg = (
+                work.select("pk", F.col("src").alias("vid"))
+                .unionAll(work.select("pk", F.col("dst").alias("vid")))
+                .groupBy("pk", "vid")
+                .agg(F.count("*").alias("deg"))
             )
+            fstats = fdeg.groupBy("pk").agg((F.sum("deg") / 2).alias("m"))
+            ffit = fstats.filter(F.col("m") <= max_cluster_edges).select("pk")
+            final_fit = work.join(ffit, "pk", "left_semi")
+            if not final_fit.isEmpty():
+                results.append(
+                    final_fit.groupBy("pk")
+                    .applyInPandas(exact_runner, schema=out_schema)
+                    .localCheckpoint(eager=True)
+                )
+            leftover = work.join(ffit, "pk", "left_anti")
+            if not leftover.isEmpty():
+                import warnings
+
+                n_left = leftover.select("pk").distinct().count()
+                warnings.warn(
+                    f"well_connected_components: distributed path exhausted "
+                    f"max_rounds with {n_left} unresolved oversized pieces; "
+                    f"their vertices are omitted from the result"
+                )
     if not results:
         return empty
     out = results[0]

@@ -97,6 +97,15 @@ class StreamingTriangleCounter:
             with open(legacy_count) as f:
                 old = json.load(f)
             has_edges = os.path.exists(os.path.join(legacy_edges, "_SUCCESS"))
+            if old.get("triangles", 0) > 0 and not has_edges:
+                # torn legacy state: the count survived but the edge set
+                # was lost mid-overwrite — every future delta would be
+                # wrong in both directions; refuse rather than continue
+                raise RuntimeError(
+                    f"torn legacy triangle state in {self.state_dir}: "
+                    f"count.json present but edges/ has no _SUCCESS; "
+                    f"reprocess the stream from scratch"
+                )
             return {
                 "triangles": old.get("triangles", 0),
                 "epoch": old.get("epoch"),
