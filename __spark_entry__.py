@@ -1251,7 +1251,7 @@ marked AS (
 )
 SELECT user_id,
        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       strftime(MAX(ts) + INTERVAL 1800 SECOND, '%Y-%m-%d %H:%M:%S') AS session_end,
        COUNT(*) AS n_events
 FROM marked GROUP BY user_id, sid
 """,
@@ -1368,8 +1368,10 @@ WITH verts AS MATERIALIZED (
 ),
 runs AS (SELECT v, v - ROW_NUMBER() OVER (ORDER BY v) AS grp FROM verts),
 lens AS (SELECT grp, COUNT(*) AS len FROM runs GROUP BY grp)
+-- reference convention: components with true diameter <= 2 (runs of
+-- <= 3 vertices) contribute nothing (Diameter.chpl k<=1 continue)
 SELECT CAST(COALESCE(MAX(len - 2), 0) AS BIGINT) AS diameter
-FROM lens WHERE len >= 3
+FROM lens WHERE len >= 4
 """,
         "triangle_centrality": f"""
 WITH {_B_EDGES},

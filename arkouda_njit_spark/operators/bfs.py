@@ -41,6 +41,7 @@ def bfs_layers(graph: Graph, source: int, source_is_label: bool = True) -> DataF
     )
     frontier = visited.select("vid")
     depth = 0
+    prev_frontier_src = None  # superseded checkpoints, released as we go
     while True:
         depth += 1
         nxt = (
@@ -53,7 +54,15 @@ def bfs_layers(graph: Graph, source: int, source_is_label: bool = True) -> DataF
         nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
             break
-        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        new_visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        # release superseded checkpoint blocks — without this a deep BFS
+        # (diameter's double sweep on a path-like component) pins
+        # O(depth × V) storage (FixpointLoop unpersists likewise)
+        visited.unpersist()
+        if prev_frontier_src is not None:
+            prev_frontier_src.unpersist()
+        prev_frontier_src = nxt
+        visited = new_visited
         frontier = nxt.select("vid")
 
     return graph.vertices.join(visited, "vid", "left").select(

@@ -9,12 +9,11 @@ connected components first, then per component (size > max(2, best-so-far)):
     **largest d such that (I+A)^d still has a zero entry** (lines 195-235).
     That value is ``true_diameter - 1``, and the committed golden test
     (algorithm_test.py:287-295: 7-vertex path → 5) locks that convention
-    in; components that are complete graphs (true diameter 1) hit the
-    ``k<=1 → continue`` branch and contribute nothing.
+    in; components with true diameter <= 2 hit the ``k<=1 → continue``
+    branch ((I+A)^2 already has no zero entry) and contribute nothing.
 
-We replicate: per component with >= 3 vertices, contribute
-``true_diameter - 1`` when true_diameter >= 2 (complete components are
-skipped). Small components are collected to the driver and measured with
+We replicate: per component, contribute ``true_diameter - 1`` when
+true_diameter >= 3 (diameter-<=2 components are skipped). Small components are collected to the driver and measured with
 pure-python BFS — the reference's dense matPow is likewise a single-node
 computation; large components (> ``bfs_threshold``) use a distributed
 double sweep (lower bound, like the reference's BFS branch).
@@ -90,16 +89,26 @@ def diameter(graph: Graph, exact: bool = False, bfs_threshold: int = 2500) -> in
     if exact:
         small_best = small.agg(F.max("d")).collect()[0][0]
     else:
-        # matrix-power branch convention: true−1 for non-complete comps,
-        # complete components (d == 1) contribute nothing
+        # matrix-power branch convention: components with true diameter
+        # <= 2 hit the reference's k<=1 `continue` (Diameter.chpl:211-214
+        # — (I+A)^2 already all-nonzero) and contribute NOTHING; d >= 3
+        # components contribute true−1
         small_best = (
-            small.filter(F.col("d") >= 2)
+            small.filter(F.col("d") >= 3)
             .agg(F.max(F.col("d") - 1))
             .collect()[0][0]
         )
     best = int(small_best) if small_best is not None else 0
 
     big = sizes.filter(F.col("size") > bfs_threshold).collect()
+    if exact and big:
+        import warnings
+
+        warnings.warn(
+            "diameter(exact=True): components larger than bfs_threshold use "
+            "the double-sweep LOWER BOUND, not exact eccentricity — raise "
+            "bfs_threshold to force the exact per-component pass"
+        )
     for row in sorted(big, key=lambda r: -r["size"]):
         comp, size = row["component"], row["size"]
         if size <= max(2, best):

@@ -157,6 +157,24 @@ class FixpointLoop:
             if last is not None:
                 state = spark.read.parquet(self._epoch_path(last))
                 start_iter = last + 1
+                # reload pre-crash metrics so the next epoch write doesn't
+                # clobber them (self.metrics starts empty in a new process)
+                mpath = os.path.join(self.checkpoint_dir, "metrics.json")
+                if not self.metrics and os.path.exists(mpath):
+                    with open(mpath) as f:
+                        self.metrics = [
+                            IterationMetrics(
+                                iteration=m["iteration"],
+                                wall_sec=m["wall_sec"],
+                                changed=m["changed"],
+                                rows=m["rows"],
+                                partition_rows={
+                                    int(k): v
+                                    for k, v in m.get("partition_rows", {}).items()
+                                },
+                            )
+                            for m in json.load(f)
+                        ]
 
         state = state.localCheckpoint(eager=True)
         for i in range(start_iter, self.max_iterations):

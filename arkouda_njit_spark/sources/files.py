@@ -37,15 +37,20 @@ def read_matrix_market_file(
         F.when(F.size(parts) > 2, parts.getItem(2).cast("double"))
         .otherwise(F.lit(1.0))
         .alias("weight"),
+        F.size(parts).alias("_nf"),
         F.monotonically_increasing_id().alias("_rowid"),
     )
     # Drop the dimensions line: it is the first non-comment row.
     first_id = parsed.agg(F.min("_rowid")).collect()[0][0]
-    edges = parsed.filter(F.col("_rowid") != first_id).drop("_rowid")
+    with_nf = parsed.filter(F.col("_rowid") != first_id).drop("_rowid")
+    # a third data column marks a weighted matrix — the reference auto-sets
+    # weighted=True for 'coordinate real' files (methods.py:70-76)
+    max_nf = with_nf.agg(F.max("_nf")).collect()[0][0] or 2
+    edges = with_nf.drop("_nf")
     if only_edges:
         return edges
     cls = DiGraph if directed else Graph
-    return cls.from_edges(spark, edges)
+    return cls.from_edges(spark, edges, weighted=max_nf > 2)
 
 
 def read_tsv_file(

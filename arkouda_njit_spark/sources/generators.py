@@ -87,15 +87,17 @@ def random_tree(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
 
 
 def gnp_random_graph(spark: SparkSession, n: int, p: float, seed: int = 42) -> DataFrame:
-    """G(n,p): Bernoulli filter over the n^2 candidate set —
-    generators.py:238-290."""
+    """G(n,p): independent Bernoulli(p) draw for every ORDERED non-loop
+    pair, exactly like the reference (generators.py:274-286 draws over all
+    n²−n ordered pairs; an undirected Graph built from the result keeps an
+    edge with probability 1−(1−p)² after symmetrize+dedup)."""
     return (
         spark.range(n * n)
         .select(
             (F.col("id") / n).cast("long").alias("src"),
             F.pmod(F.col("id"), F.lit(n)).cast("long").alias("dst"),
         )
-        .filter(F.col("src") < F.col("dst"))
+        .filter(F.col("src") != F.col("dst"))
         .filter(_u01(F.col("src") * n + F.col("dst"), F.lit(seed)) < p)
     )
 
@@ -139,12 +141,40 @@ def rmat_graph(
         )
     out = df.select("src", "dst")
     if permute:
-        n = 2**scale
+        # TRUE bijective relabeling (the reference applies a random
+        # permutation, BuildGraphMsg.chpl:393-408; a bare hash-mod is NOT
+        # a bijection — ~1/e of ids would collide and merge vertices).
+        # Alternating-half Feistel: xor one bit-half with a hash of the
+        # other — each round is invertible, so the composition is a
+        # permutation of [0, 2^scale); pure column ops, no shuffle.
         out = out.select(
-            F.pmod(F.xxhash64("src", F.lit(seed + 1)), F.lit(n)).alias("src"),
-            F.pmod(F.xxhash64("dst", F.lit(seed + 1)), F.lit(n)).alias("dst"),
+            _feistel_permute(F.col("src"), scale, seed + 1).alias("src"),
+            _feistel_permute(F.col("dst"), scale, seed + 1).alias("dst"),
         )
     return out
+
+
+def _feistel_permute(col, scale: int, seed: int, rounds: int = 4):
+    """Bijection on [0, 2^scale) from alternating xor rounds:
+    L ^= hash(R) (even rounds), R ^= hash(L) (odd rounds)."""
+    h_lo = max(scale // 2, 1) if scale > 1 else 0
+    h_hi = scale - h_lo
+    if h_hi == 0:  # scale == 1: identity is the only cheap bijection family
+        return col
+    lo_mask = (1 << h_lo) - 1
+    hi_mask = (1 << h_hi) - 1
+    L = F.shiftright(col, h_lo).bitwiseAND(F.lit(hi_mask))
+    R = col.bitwiseAND(F.lit(lo_mask))
+    for r in range(rounds):
+        if r % 2 == 0:
+            L = L.bitwiseXOR(
+                F.xxhash64(R, F.lit(seed), F.lit(r)).bitwiseAND(F.lit(hi_mask))
+            )
+        else:
+            R = R.bitwiseXOR(
+                F.xxhash64(L, F.lit(seed), F.lit(r)).bitwiseAND(F.lit(lo_mask))
+            )
+    return (L * F.lit(1 << h_lo) + R).cast("long")
 
 
 def barabasi_albert_graph(spark: SparkSession, n: int, m: int, seed: int = 42) -> DataFrame:
@@ -157,15 +187,17 @@ def barabasi_albert_graph(spark: SparkSession, n: int, m: int, seed: int = 42) -
     import random
 
     rng = random.Random(seed)
-    targets = list(range(m))
-    repeated: list[int] = []
-    edges: list[tuple[int, int]] = []
-    for v in range(m, n):
-        for t in set(targets):
-            edges.append((v, t))
+    # reference shape (BuildGraphMsg.chpl:451-486): seed star 0->(1..m),
+    # then every new source m..n-1 samples m targets WITH replacement from
+    # the repeated-nodes pool (duplicate draws stay in the edge list — the
+    # graph build's dedup collapses them, exactly like add_edges_from)
+    edges: list[tuple[int, int]] = [(0, t) for t in range(1, m + 1)]
+    repeated: list[int] = [0] * m + list(range(1, m + 1))
+    for source in range(m, n):
+        targets = [repeated[rng.randrange(len(repeated))] for _ in range(m)]
+        edges.extend((source, t) for t in targets)
+        repeated.extend([source] * m)
         repeated.extend(targets)
-        repeated.extend([v] * m)
-        targets = [rng.choice(repeated) for _ in range(m)]
     return spark.createDataFrame(edges, "src long, dst long")
 
 
@@ -188,9 +220,10 @@ def watts_strogatz_graph(
     )
     rewire = _u01("id", F.lit(seed)) < p
     new_dst = F.pmod(F.xxhash64("id", F.lit(seed), F.lit(1)), F.lit(n)).cast("long")
+    # rewiring is UNCONDITIONAL like the reference (generators.py:343-345):
+    # a rewire that hits its own src yields a self-loop row that the graph
+    # build drops — the edge is lost, not kept as the lattice edge
     return ring.select(
         "src",
-        F.when(rewire & (new_dst != F.col("src")), new_dst)
-        .otherwise(F.col("dst"))
-        .alias("dst"),
+        F.when(rewire, new_dst).otherwise(F.col("dst")).alias("dst"),
     )

@@ -74,6 +74,11 @@ def sessionize(
         "hour": 3600, "hours": 3600,
         "day": 86400, "days": 86400,
     }[unit.lower()]
+    # Match Spark's session_window semantics EXACTLY so a batch backfill
+    # and the live stream produce the same session table: sessions MERGE
+    # when an event lands at or before last+gap (verified empirically —
+    # windows touching at the boundary merge), so split on diff > gap,
+    # and session_end = last event + gap (the window end, not max(ts)).
     w = Window.partitionBy("user_id").orderBy("ts")
     marked = events.withColumn(
         "_new_session",
@@ -85,6 +90,8 @@ def sessionize(
     ).withColumn("_session_id", F.sum("_new_session").over(w))
     return marked.groupBy("user_id", "_session_id").agg(
         F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+        (F.max("ts") + F.expr(f"INTERVAL {gap_seconds} SECONDS")).alias(
+            "session_end"
+        ),
         F.count("*").alias("n_events"),
     ).drop("_session_id")

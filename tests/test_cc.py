@@ -40,5 +40,13 @@ def test_cc_resume(spark, tmp_path):
     comps = connected_components(graph, checkpoint_dir=ckpt)
     sizes = {r["component"]: r["size"] for r in component_sizes(comps).collect()}
     assert sizes == {0: 7, 7: 3, 10: 3}
+    import json
     import os
+
     assert os.path.exists(os.path.join(ckpt, "metrics.json"))
+    # pre-kill metrics survive the resume (the resumed process reloads
+    # metrics.json before its first epoch write instead of clobbering it)
+    with open(os.path.join(ckpt, "metrics.json")) as f:
+        metrics = json.load(f)
+    iters = [m["iteration"] for m in metrics]
+    assert 0 in iters and max(iters) > 0 and iters == sorted(iters)

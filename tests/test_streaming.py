@@ -55,6 +55,44 @@ def test_sessionize_static(spark):
     assert per_user[2] == [1]
 
 
+def test_sessionize_static_matches_streaming(spark, tmp_path):
+    """A batch backfill and the live stream must produce the SAME session
+    table — including the exactly-at-gap boundary (session windows
+    touching at the boundary MERGE, verified against session_window) and
+    session_end = last event + gap (the window end, not max(ts))."""
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:30:00"),  # exactly gap later -> MERGES
+        (1, "2024-01-01 00:40:00"),
+        (2, "2024-01-01 00:05:00"),
+    ]
+    static = spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    got_static = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in sessionize(static, gap="30 minutes").collect()
+    }
+    src_dir = tmp_path / "sess_in"
+    static.write.parquet(str(src_dir))
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(str(src_dir))
+    q = (
+        sessionize(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_par")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_stream = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.table("sess_par").collect()
+    }
+    assert got_static == got_stream
+    assert len(got_static) == 2  # user1 merges across the exact-gap boundary
+
+
 def test_streaming_triangle_count_incremental(spark, tmp_path):
     """Feed edges in two batches; running total equals nx on the union."""
     batch1 = [(0, 1), (1, 2), (2, 0), (2, 3)]          # one triangle
