@@ -9,9 +9,12 @@ Durable registration = writing the bucketed tables (`Graph.write`)."""
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import SparkSession
 
-from .graph import Graph
+from .graph import DiGraph, Graph
 
 
 class GraphCatalog:
@@ -40,9 +43,20 @@ class GraphCatalog:
         g.unpersist()
 
     def save(self, name: str, path: str) -> None:
-        self._graphs[name].write(path)
+        g = self._graphs[name]
+        g.write(path)
+        # record directedness so load round-trips the right class (a
+        # DiGraph read back as Graph halves n_edges and breaks degree())
+        with open(os.path.join(path, "_graph_meta.json"), "w") as f:
+            json.dump({"directed": bool(g.directed)}, f)
 
     def load(self, name: str, path: str) -> Graph:
-        g = Graph.read(self.spark, path)
+        meta_path = os.path.join(path, "_graph_meta.json")
+        directed = False
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                directed = json.load(f).get("directed", False)
+        cls = DiGraph if directed else Graph
+        g = cls.read(self.spark, path)
         self.register(name, g)
         return g

@@ -31,10 +31,14 @@ FEATURE_SCHEMA = "media_id long, kind string, n_bytes int, feature array<float>"
 
 
 def _fake_feature(data: bytes, dim: int) -> np.ndarray:
-    """Deterministic stand-in for a decoder: byte-histogram folded to dim."""
+    """Deterministic stand-in for a decoder: byte-histogram folded to dim
+    via modulo binning (well-defined for ANY dim — the old truncate+reshape
+    silently produced all-zero vectors for dim > 256)."""
     arr = np.frombuffer(data, dtype=np.uint8)
-    hist = np.bincount(arr, minlength=256).astype("float32")
-    folded = hist[: (256 // dim) * dim].reshape(dim, -1).sum(axis=1)
+    hist = np.bincount(arr, minlength=256).astype("float64")
+    folded = np.bincount(
+        np.arange(256) % dim, weights=hist, minlength=dim
+    )[:dim].astype("float32")
     norm = np.linalg.norm(folded)
     return folded / norm if norm > 0 else folded
 

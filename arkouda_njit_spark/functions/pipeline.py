@@ -42,6 +42,10 @@ def clean_corpus(
     kept = kept.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
     if with_near_dup:
+        # kept feeds three independent subtrees (signatures, shingle
+        # explode, final anti-join left side) — cache it so the scoring
+        # expressions and the dedup window shuffle execute once
+        kept = kept.persist()
         pairs = minhash_near_duplicates(
             kept, id_col=id_col, text_col=text_col, threshold=near_dup_threshold
         )

@@ -27,6 +27,8 @@ BROADCAST_MAX_VERTICES = 2_000_000
 
 def state_join_side(state: DataFrame, n_vertices: int, strategy: str = "auto") -> DataFrame:
     """Return the state DataFrame with the right join hint applied."""
+    if strategy not in ("auto", "broadcast", "shuffle_hash"):
+        raise ValueError(f"unknown join strategy: {strategy!r}")
     if strategy == "auto":
         strategy = "broadcast" if n_vertices <= BROADCAST_MAX_VERTICES else "shuffle_hash"
     if strategy == "broadcast":

@@ -105,27 +105,52 @@ class PropGraph(DiGraph):
         self._label_columns = list(label_columns or [])
 
     def add_node_labels(self, df: DataFrame, node_column: str) -> None:
-        """propgraphclass.py:99-188 — every non-key column is a label."""
+        """propgraphclass.py:99-188 — every non-key column is a label.
+        Incoming rows are deduplicated per node (reference GroupBy,
+        propgraphclass.py:175-179) so the one-row-per-node invariant
+        holds; a label column colliding with an existing attribute column
+        raises upfront instead of creating an ambiguous duplicate."""
         labels = [c for c in df.columns if c != node_column]
         if self.node_attributes is None:
             self.load_node_attributes(df, node_column, label_columns=labels)
         else:
-            named = df.withColumnRenamed(node_column, "nodes")
+            clash = set(labels) & {
+                c for c in self.node_attributes.columns if c != "nodes"
+            }
+            if clash:
+                raise ValueError(f"label columns already present: {sorted(clash)}")
+            named = _dedup_first_of_group(
+                df.withColumnRenamed(node_column, "nodes"), ["nodes"], labels
+            )
             self.node_attributes = self.node_attributes.join(named, "nodes", "left")
             self._label_columns += labels
 
     def add_edge_relationships(self, df: DataFrame, source_column: str, destination_column: str) -> None:
         """propgraphclass.py:290-383 — join relationship columns onto the
-        existing edge attribute table by (src, dst)."""
-        named = df.withColumnRenamed(source_column, "src").withColumnRenamed(
-            destination_column, "dst"
+        existing edge attribute table by (src, dst). Incoming rows are
+        deduplicated per edge and self-loops dropped (the reference's
+        GroupBy at propgraphclass.py:366-371), preserving the
+        one-row-per-edge invariant from_edge_attributes establishes."""
+        named = (
+            df.withColumnRenamed(source_column, "src")
+            .withColumnRenamed(destination_column, "dst")
+            .filter(F.col("src") != F.col("dst"))
         )
         rels = [c for c in named.columns if c not in ("src", "dst")]
+        named = _dedup_first_of_group(named, ["src", "dst"], rels)
         if self.edge_attributes is None:
             self.edge_attributes = named
         else:
             self.edge_attributes = self.edge_attributes.join(named, ["src", "dst"], "left")
         self._relationship_columns += rels
+
+    def unpersist(self) -> None:
+        """Release the base tables AND the persisted attribute tables
+        (Graph.unpersist only knows edges/vertices/degrees)."""
+        super().unpersist()
+        for df in (self.edge_attributes, self.node_attributes):
+            if df is not None:
+                df.unpersist()
 
     # -- getters (propgraphclass.py:500-558) ----------------------------------
     def get_edge_attributes(self) -> DataFrame:
@@ -179,8 +204,26 @@ class PropGraph(DiGraph):
             col = flt(df) if callable(flt) else flt
             return df.filter(col)
 
-        nodes = apply(self.node_attributes, filter_node).select("nodes")
-        edges = apply(self.edge_attributes, filter_edge).select("src", "dst")
+        # node universe: the GRAPH's vertex set when no node filter is
+        # given (reference builds its mask over self.nodes(),
+        # propgraphclass.py:628-640) — node_attributes may be absent or
+        # cover only a subset of vertices
+        if filter_node is None:
+            node_base = self.nodes().select(F.col("label").alias("nodes"))
+        else:
+            if self.node_attributes is None:
+                raise ValueError("filter_node given but no node attributes loaded")
+            node_base = self.node_attributes
+        nodes = apply(node_base, filter_node).select("nodes")
+        if self.edge_attributes is not None:
+            edge_base = self.edge_attributes
+        else:
+            if filter_edge is not None:
+                raise ValueError("filter_edge given but no edge attributes loaded")
+            edge_base = self.edge_list().select(
+                F.col("src_label").alias("src"), F.col("dst_label").alias("dst")
+            )
+        edges = apply(edge_base, filter_edge).select("src", "dst")
         ns = nodes.withColumnRenamed("nodes", "src")
         nd = nodes.withColumnRenamed("nodes", "dst")
         if filter_edge is not None:

@@ -178,9 +178,8 @@ def build_web_graph(pages: DataFrame, num_partitions: int | None = None) -> DiGr
         .distinct()
     )
     vertices = dense_rank_ids(urls, "u", P, out_col="vid").withColumnRenamed("u", "url")
-    vs = vertices.select(F.col("url").alias("url_key"), F.col("vid").alias("_svid"))
     remapped = (
-        dedup.join(vs.withColumnRenamed("url_key", "url"), "url")
+        dedup.join(vertices.select("url", F.col("vid").alias("_svid")), "url")
         .join(
             vertices.select(F.col("url").alias("href"), F.col("vid").alias("_dvid")),
             "href",

@@ -35,3 +35,19 @@ def test_catalog_save_load(spark, tmp_path):
     )
     cat.drop("g1_back")
     assert "g1_back" not in cat
+
+
+def test_catalog_digraph_roundtrip(spark, tmp_path):
+    """save/load preserves directedness: a DiGraph must not come back as
+    an undirected Graph with halved edge count (review finding)."""
+    from arkouda_njit_spark import DiGraph
+    from arkouda_njit_spark.catalog import GraphCatalog
+
+    cat = GraphCatalog(spark)
+    dg = DiGraph.from_edges(spark, [1, 2, 3, 4], [2, 3, 1, 1])
+    cat.register("d", dg)
+    p = str(tmp_path / "dsave")
+    cat.save("d", p)
+    g2 = cat.load("d2", p)
+    assert type(g2) is DiGraph and g2.directed
+    assert g2.n_edges == dg.n_edges == 4

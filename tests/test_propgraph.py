@@ -79,3 +79,55 @@ def test_dedup_first_attribute_row(spark):
     rows = g.edge_attributes.collect()
     assert len(rows) == 1  # self-loop dropped, duplicate collapsed
     assert rows[0]["tag"] in ("a", "b")
+
+
+def test_subgraph_view_without_node_attributes(spark):
+    """Edge-only filter on a PropGraph with NO node attributes: the node
+    universe is the graph's vertex set (reference uses self.nodes()),
+    not a crash (review finding)."""
+    edges = spark.createDataFrame(
+        [(1, 2, "a"), (2, 3, "b"), (3, 1, "a")], "src long, dst long, tag string"
+    )
+    pg = PropGraph.from_edge_attributes(edges, "src", "dst", ["tag"])
+    sub = pg.subgraph_view(filter_edge=F.col("tag") == "a")
+    got = {(r["src_label"], r["dst_label"]) for r in sub.edge_list().collect()}
+    assert got == {(1, 2), (3, 1)}
+
+
+def test_add_edge_relationships_dedups(spark):
+    edges = spark.createDataFrame(
+        [(1, 2, "x"), (2, 3, "x"), (3, 1, "x")], "src long, dst long, tag string"
+    )
+    pg = PropGraph.from_edge_attributes(edges, "src", "dst", ["tag"])
+    rels = spark.createDataFrame(
+        [(1, 2, "r1"), (1, 2, "r2"), (2, 2, "loop")], "s long, d long, rel string"
+    )
+    pg.add_edge_relationships(rels, "s", "d")
+    # one row per edge preserved: dup collapsed deterministically, loop dropped
+    assert pg.edge_attributes.count() == 3
+    row = pg.edge_attributes.filter((F.col("src") == 1) & (F.col("dst") == 2)).collect()
+    assert len(row) == 1 and row[0]["rel"] == "r1"  # min-of-group
+
+
+def test_add_node_labels_dedups_and_rejects_collisions(spark):
+    import pytest as _pytest
+
+    edges = spark.createDataFrame(
+        [(1, 2, "x"), (2, 3, "x")], "src long, dst long, tag string"
+    )
+    pg = PropGraph.from_edge_attributes(edges, "src", "dst", ["tag"])
+    pg.load_node_attributes(
+        spark.createDataFrame([(1, "p"), (2, "q"), (3, "p")], "n long, kind string"),
+        "n",
+        ["kind"],
+    )
+    labels = spark.createDataFrame(
+        [(1, "A"), (1, "B"), (2, "A")], "n long, grp string"
+    )
+    pg.add_node_labels(labels, "n")
+    assert pg.node_attributes.count() == 3  # still one row per node
+    assert pg.node_attributes.filter(F.col("nodes") == 1).collect()[0]["grp"] == "A"
+    with _pytest.raises(ValueError, match="already present"):
+        pg.add_node_labels(
+            spark.createDataFrame([(1, "z")], "n long, kind string"), "n"
+        )
