@@ -862,6 +862,53 @@ sh AS (
 )
 
 
+def _minhash_near_dup_sql(num_hashes: int, bands: int, threshold: float) -> str:
+    """Full MinHash-LSH pipeline replayed in ANSI SQL: shingle → K string-min
+    md5 signatures → banded md5 bucket keys → bucket self-join candidates →
+    exact Jaccard verify over the candidate pairs (functions/dedup.py
+    semantics, engine-independent because the hash family is md5)."""
+    rpb = num_hashes // bands
+    mins = ",\n         ".join(
+        f"MIN(md5('{i}:' || s)) AS mh{i}" for i in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({expr}) AS bh FROM sigs".format(
+            b=b,
+            expr=" || '|' || ".join(f"mh{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {_SHINGLES},
+shd AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM sh),
+sigs AS MATERIALIZED (
+  SELECT doc_id,
+         {mins}
+  FROM shd GROUP BY doc_id
+),
+bands AS MATERIALIZED (
+  {band_selects}
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+),
+sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, COUNT(*) AS common
+  FROM cand c
+  JOIN shd la ON la.doc_id = c.a
+  JOIN shd lb ON lb.doc_id = c.b AND lb.s = la.s
+  GROUP BY c.a, c.b
+)
+SELECT a, b, ROUND(common * 1.0 / (sa.sz + sb.sz - common), 9) AS jaccard
+FROM inter JOIN sz sa ON inter.a = sa.doc_id
+           JOIN sz sb ON inter.b = sb.doc_id
+WHERE common * 1.0 / (sa.sz + sb.sz - common) >= {threshold}
+"""
+
+
 def _unrolled_pagerank(iters: int) -> str:
     parts = [f"WITH {_A_EDGES}, pr0 AS MATERIALIZED (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM verts)"]
     for i in range(1, iters + 1):
@@ -1196,6 +1243,25 @@ SELECT a, b,
 FROM inter JOIN sz sa ON inter.a = sa.doc_id
            JOIN sz sb ON inter.b = sb.doc_id
 WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5
+""",
+        "minhash_near_dups": _minhash_near_dup_sql(16, 8, 0.7),
+        "simhash": f"""
+WITH {_DOCS},
+tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tk
+  FROM docs
+),
+h AS (SELECT doc_id, CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT) AS h FROM tok),
+bitsums AS (
+  SELECT doc_id, b.range AS b,
+         SUM(CASE WHEN (h.h >> CAST(b.range AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, range(32) b
+  GROUP BY doc_id, b.range
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+                ELSE 0 END) AS BIGINT) AS simhash
+FROM bitsums GROUP BY doc_id
 """,
         # IVF with exhaustive probing returns the exact top-k: same oracle
         "ann_ivf_exhaustive": """

@@ -12,7 +12,8 @@ Scale design:
     Jaccard only for candidates.
   * MinHash uses **string-min over md5(seed:shingle)** — deterministic,
     partition-invariant, and replayable in ANSI SQL (the DuckDB oracle).
-  * SimHash is 32 bit-count aggregations over xxhash64 bits — all JVM-side.
+  * SimHash is 32 bit-count aggregations over md5-prefix token hashes —
+    all JVM-side column exprs, same replayability as the MinHash family.
 """
 
 from __future__ import annotations
@@ -207,9 +208,20 @@ def simhash(
     out: str = "simhash",
 ) -> DataFrame:
     """Per-document SimHash over token hashes: bit b of the output is the
-    sign of Σ_tokens (±1 per token's xxhash64 bit b). All JVM bit ops."""
+    sign of Σ_tokens (±1 per token's hash bit b). All JVM column exprs.
+
+    The token hash is the first ``ceil(bits/4)`` hex chars of md5(token)
+    parsed as an integer — like the MinHash family above, deterministic,
+    partition-invariant, and replayable in ANSI SQL (the DuckDB oracle
+    parses the same hex prefix), at identical Hamming-distance quality to
+    any other uniform 32/64-bit family. ``bits`` must be <= 60 so the
+    parsed prefix fits a signed long."""
+    if bits > 60:
+        raise ValueError(f"simhash: bits={bits} > 60 (hex-prefix hash is 60-bit max)")
+    nhex = (bits + 3) // 4
     ex = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok")).select(
-        F.col(id_col), F.xxhash64("tok").alias("h")
+        F.col(id_col),
+        F.conv(F.substring(F.md5("tok"), 1, nhex), 16, 10).cast("long").alias("h"),
     )
     sums = ex.groupBy(id_col).agg(
         *[
