@@ -447,9 +447,15 @@ def q_media_features(spark, sf_dir):
 
 
 def q_web_pagerank(spark, sf_dir):
+    """End-to-end web pipeline: synthetic pages → Arrow link extraction →
+    canonical DiGraph → 20 fixed power iterations (tol=0 so the unrolled
+    SQL oracle replays the exact iteration count). The oracle regenerates
+    the link table host-side via the pure-Python XXH64 replay
+    (functions/xxh64.py) — if extraction or graph canonicalization drops or
+    mangles an edge, the ranks diverge and the hash check fails."""
     pages = generate_pages(spark, n_pages=500, links_per_page=8, seed=42)
     g = build_web_graph(pages)
-    pr = pagerank(g, max_iterations=20)
+    pr = pagerank(g, max_iterations=20, tol=0)
     return (
         pr.join(g.vertices.select("vid", "url"), "vid")
         .select("url", F.round("rank", 9).alias("rank"))
@@ -909,6 +915,144 @@ WHERE common * 1.0 / (sa.sz + sb.sz - common) >= {threshold}
 """
 
 
+def _plane_literals(dim: int, n_planes: int, seed: int) -> list[str]:
+    """LSH hyperplane components as SQL DOUBLE[] literals, replayed through
+    the pure-Python XXH64 port (functions/xxh64.py — bit-exact vs Spark,
+    see test_xxh64_matches_spark). The planes are data-independent
+    parameters of the operator, so inlining them keeps the oracle an
+    independent recomputation of everything data-dependent."""
+    from arkouda_njit_spark.functions.xxh64 import TWO63, spark_xxhash64
+
+    out = []
+    for i in range(n_planes):
+        comps = [
+            spark_xxhash64(("int", j), ("int", i), ("int", seed)) / TWO63
+            for j in range(dim)
+        ]
+        out.append("[" + ", ".join(repr(c) for c in comps) + "]")
+    return out
+
+
+def _bucket_expr(planes: list[str]) -> str:
+    """SQL for the hyperplane bucket id: sign bits of dot(vec, plane_i).
+    Computed on the raw vector — sign-equivalent to Spark's normalized dot
+    (positive norm never flips a sign)."""
+    return "\n       + ".join(
+        f"(CASE WHEN list_dot_product(v, {p}) > 0 THEN {2**i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+
+
+def _ann_lsh_sql(dim: int, k: int, n_planes: int, n_tables: int, seed: int = 42) -> str:
+    """ann_lsh_topk replay: per-table bucket ids from inlined plane
+    literals, candidate = corpus row sharing the query's bucket in ANY
+    table, exact cosine rerank."""
+    table_selects = "\n  UNION ALL ".join(
+        "SELECT vec_id, {t} AS tbl,\n       {expr} AS bucket\n  FROM e".format(
+            t=t, expr=_bucket_expr(_plane_literals(dim, n_planes, seed + 1000 * t))
+        )
+        for t in range(n_tables)
+    )
+    return f"""
+WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS MATERIALIZED (
+  {table_selects}
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id
+  FROM b qb JOIN b cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+  WHERE qb.vec_id < 5
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         list_cosine_similarity(eq.v, ec.v) AS cos
+  FROM cand c JOIN e eq ON eq.vec_id = c.query_id
+              JOIN e ec ON ec.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, ROUND(CAST(cos AS DOUBLE), 6) AS cosine
+FROM ranked WHERE rn <= {k}
+"""
+
+
+def _embedding_near_dup_lsh_sql(dim: int, threshold: float, n_planes: int, seed: int = 42) -> str:
+    """embedding_near_duplicates LSH-path replay: single-table bucket
+    self-join, cosine >= threshold."""
+    expr = _bucket_expr(_plane_literals(dim, n_planes, seed))
+    return f"""
+WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS MATERIALIZED (
+  SELECT vec_id, v,
+       {expr} AS bucket
+  FROM e
+)
+SELECT l.vec_id AS a, r.vec_id AS b,
+       ROUND(CAST(list_cosine_similarity(l.v, r.v) AS DOUBLE), 6) AS cosine
+FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE list_cosine_similarity(l.v, r.v) >= {threshold}
+"""
+
+
+def _web_pagerank_sql(n_pages: int, links_per_page: int, seed: int, iters: int, topk: int) -> str:
+    """q_web_pagerank replay: regenerate the link draws host-side via the
+    XXH64 port (sources/pages.py's quadratic-skew formula), then replay
+    canonicalization (self-link drop, dedup) and ``iters`` unrolled
+    weighted-uniform power iterations with dangling-mass redistribution.
+    The html-extraction leg is covered because any extraction divergence
+    changes the Spark-side edge set and therefore every rank."""
+    from arkouda_njit_spark.functions.xxh64 import u01
+
+    draws = []
+    for link_id in range(n_pages * links_per_page):
+        pid = link_id // links_per_page
+        u = u01(("long", link_id), ("int", seed))
+        dst = int(u * u * n_pages)  # floor: u*u*n_pages < n_pages
+        draws.append(f"({pid},{dst})")
+    values = ",".join(draws)
+    base = repr((1.0 - 0.85))  # Spark computes (1-alpha) in doubles
+    parts = [
+        f"""
+WITH links(src, dst) AS (VALUES {values}),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM links WHERE src <> dst),
+verts AS MATERIALIZED (SELECT src AS v FROM e UNION SELECT dst FROM e),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+dang AS MATERIALIZED (
+  SELECT v FROM verts WHERE v NOT IN (SELECT src FROM e)
+),
+pr0 AS MATERIALIZED (SELECT v, 1.0/(SELECT n FROM nn) AS rank FROM verts)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+c{i} AS MATERIALIZED (
+  SELECT e.dst AS v, SUM((1.0 / d.d) * p.rank) AS c
+  FROM e JOIN pr{i-1} p ON e.src = p.v JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+dm{i} AS (SELECT COALESCE(SUM(p.rank), 0.0) AS dm
+          FROM pr{i-1} p JOIN dang ON p.v = dang.v),
+pr{i} AS MATERIALIZED (
+  SELECT v.v,
+         {base}/(SELECT n FROM nn)
+         + 0.85 * (SELECT dm FROM dm{i}) / (SELECT n FROM nn)
+         + 0.85 * COALESCE(c.c, 0.0) AS rank
+  FROM verts v LEFT JOIN c{i} c ON v.v = c.v
+)"""
+        )
+    parts.append(
+        f"""
+SELECT 'https://site' || CAST(v % 97 AS VARCHAR) || '.example/p' || CAST(v AS VARCHAR) AS url,
+       ROUND(rank, 9) AS rank
+FROM pr{iters} ORDER BY ROUND(rank, 9) DESC, url LIMIT {topk}"""
+    )
+    return "".join(parts)
+
+
 def _unrolled_pagerank(iters: int) -> str:
     parts = [f"WITH {_A_EDGES}, pr0 AS MATERIALIZED (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM verts)"]
     for i in range(1, iters + 1):
@@ -1245,6 +1389,14 @@ FROM inter JOIN sz sa ON inter.a = sa.doc_id
 WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5
 """,
         "minhash_near_dups": _minhash_near_dup_sql(16, 8, 0.7),
+        # dim=64 matches the sf0.01 embeddings table the driver compares at
+        "ann_topk": _ann_lsh_sql(dim=64, k=5, n_planes=6, n_tables=4),
+        "embedding_near_dups_lsh": _embedding_near_dup_lsh_sql(
+            dim=64, threshold=0.9, n_planes=6
+        ),
+        "web_pagerank": _web_pagerank_sql(
+            n_pages=500, links_per_page=8, seed=42, iters=20, topk=25
+        ),
         "simhash": f"""
 WITH {_DOCS},
 tok AS (

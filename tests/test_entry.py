@@ -94,3 +94,34 @@ NO_ORACLE = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
 def test_no_oracle_queries_run(spark, name):
     df = entrymod.queries()[name](spark, SF_DIR)
     assert df.count() >= 0  # schema-stable, executable
+
+
+def test_xxh64_matches_spark(spark):
+    """The pure-Python XXH64 port (functions/xxh64.py) is bit-exact vs
+    Spark's xxhash64 on the int/long paths the oracle replays rely on
+    (LSH plane literals, generator draws)."""
+    from pyspark.sql import functions as F
+
+    from arkouda_njit_spark.functions.xxh64 import spark_xxhash64
+
+    cases = [
+        [("int", 3), ("int", 1), ("int", 42)],
+        [("int", 0), ("int", 0), ("int", 1042)],
+        [("int", -7), ("int", 5)],
+        [("long", 123456789), ("int", 42)],
+        [("long", -1), ("int", 42), ("int", 7)],
+        [("long", 2**62), ("int", -3)],
+        [("int", 63), ("int", 5), ("int", 3042)],
+    ]
+
+    def lit(kind, v):
+        c = F.lit(v)
+        return c.cast("long") if kind == "long" else c.cast("int")
+
+    exprs = [
+        F.xxhash64(*[lit(k, v) for k, v in fields]).alias(f"h{i}")
+        for i, fields in enumerate(cases)
+    ]
+    row = spark.range(1).select(*exprs).collect()[0]
+    for i, fields in enumerate(cases):
+        assert row[f"h{i}"] == spark_xxhash64(*fields), fields
