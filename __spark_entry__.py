@@ -1053,6 +1053,41 @@ FROM pr{iters} ORDER BY ROUND(rank, 9) DESC, url LIMIT {topk}"""
     return "".join(parts)
 
 
+def _media_features_sql(n: int, seed: int, dim: int) -> str:
+    """q_media_features replay: regenerate the synthetic media payload
+    bytes host-side (functions/multimodal.py generate_media — printable
+    ASCII from xxhash64 draws, replayed through the XXH64 port), inline
+    them as VALUES, and recompute the fake feature (byte histogram folded
+    modulo ``dim``, L2-normalized in float32) in SQL. Verifies the
+    mapInPandas Arrow plumbing end-to-end: wrong batch shapes, dropped
+    rows, or mangled bytes all change f0."""
+    from arkouda_njit_spark.functions.xxh64 import spark_xxhash64
+
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for mid in range(n):
+        byts = [
+            spark_xxhash64(("long", mid), ("int", i), ("int", seed)) % 94 + 33
+            for i in range(64)
+        ]
+        rows.append(f"({mid},'{kinds[mid % 3]}',{byts!r})".replace(" ", ""))
+    values = ",".join(rows)
+    return f"""
+WITH media(media_id, kind, bytes) AS (VALUES {values}),
+ex AS (SELECT media_id, unnest(bytes) % {dim} AS r FROM media),
+cnt AS (SELECT media_id, r, CAST(COUNT(*) AS DOUBLE) AS c FROM ex GROUP BY 1, 2),
+agg AS (
+  SELECT media_id, SUM(c * c) AS ss,
+         COALESCE(SUM(c) FILTER (r = 0), 0) AS f0n
+  FROM cnt GROUP BY media_id
+)
+SELECT m.media_id, m.kind, len(m.bytes) AS n_bytes,
+       ROUND(CAST(CAST(CAST(a.f0n AS REAL) / CAST(sqrt(a.ss) AS REAL) AS REAL)
+                  AS DOUBLE), 6) AS f0
+FROM media m JOIN agg a ON m.media_id = a.media_id
+"""
+
+
 def _unrolled_pagerank(iters: int) -> str:
     parts = [f"WITH {_A_EDGES}, pr0 AS MATERIALIZED (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM verts)"]
     for i in range(1, iters + 1):
@@ -1397,6 +1432,7 @@ WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5
         "web_pagerank": _web_pagerank_sql(
             n_pages=500, links_per_page=8, seed=42, iters=20, topk=25
         ),
+        "media_features": _media_features_sql(n=120, seed=42, dim=16),
         "simhash": f"""
 WITH {_DOCS},
 tok AS (
