@@ -2,9 +2,13 @@
 
 ``queries()`` exposes the engine's operator surface (SURVEY.md §2 + the
 training-data-pipeline suite) over the driver's parquet tables;
-``oracle_sql()`` gives DuckDB-replayable ANSI SQL for each (omitted only
-for ops whose semantics aren't SQL-expressible — LSH/ANN/multimodal —
-which the driver checks rows-only).
+``oracle_sql()`` gives DuckDB-replayable ANSI SQL for every query (45/45).
+Hash-family ops (MinHash, SimHash) use md5 so any engine can replay them;
+xxhash64-derived constants that are data-INDEPENDENT (LSH hyperplanes,
+synthetic-generator draws) are replayed host-side through the pure-Python
+XXH64 port (functions/xxh64.py, bit-exact vs Spark by test) and inlined
+into the SQL as literals — the oracle recomputes everything
+data-dependent itself.
 
 Derived graphs (deterministic, identical in both engines, label space):
   * graph A — bipartite part–supplier: (l_partkey) -- (100000+l_suppkey)

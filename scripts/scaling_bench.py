@@ -126,6 +126,88 @@ spark.stop()
 """
 
 
+CC_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from arkouda_njit_spark.session import get_spark
+from arkouda_njit_spark import Graph
+from arkouda_njit_spark.operators import connected_components
+from arkouda_njit_spark.sources.generators import rmat_graph
+
+cpus = int(sys.argv[1])
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+raw = rmat_graph(spark, scale=%(rmat_scale)d, edge_factor=%(rmat_ef)d, seed=42)
+g = Graph.from_edges(spark, raw.withColumn("weight", F.lit(1.0)))
+edges = g.edges.count()
+connected_components(g, max_iterations=2)  # warmup (JIT)
+t0 = time.time()
+cc = connected_components(g)
+n_comp = cc.select("component").distinct().count()
+wall = time.time() - t0
+rows = cc.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+print(json.dumps({"cpus": cpus, "wall_sec": wall, "units": edges,
+                  "throughput": edges / wall, "iters_per_hour": None,
+                  "n_components": n_comp,
+                  "partition_rows": {str(r["pid"]): r["count"] for r in rows}}))
+spark.stop()
+"""
+
+LPA_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from arkouda_njit_spark.session import get_spark
+from arkouda_njit_spark import Graph
+from arkouda_njit_spark.operators import label_propagation
+from arkouda_njit_spark.sources.generators import rmat_graph
+
+cpus = int(sys.argv[1])
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+raw = rmat_graph(spark, scale=%(rmat_scale)d, edge_factor=%(rmat_ef)d, seed=42)
+g = Graph.from_edges(spark, raw.withColumn("weight", F.lit(1.0)))
+edges = g.edges.count()
+iters = 4
+label_propagation(g, max_iterations=1)  # warmup (JIT)
+t0 = time.time()
+lp = label_propagation(g, max_iterations=iters)
+lp.count()
+wall = time.time() - t0
+rows = lp.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+print(json.dumps({"cpus": cpus, "wall_sec": wall, "units": edges * iters,
+                  "throughput": edges * iters / wall, "iters_per_hour": None,
+                  "partition_rows": {str(r["pid"]): r["count"] for r in rows}}))
+spark.stop()
+"""
+
+TRIANGLES_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from arkouda_njit_spark.session import get_spark
+from arkouda_njit_spark import Graph
+from arkouda_njit_spark.operators import triangle_count
+from arkouda_njit_spark.sources.generators import rmat_graph
+
+cpus = int(sys.argv[1])
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+raw = rmat_graph(spark, scale=%(tri_scale)d, edge_factor=%(tri_ef)d, seed=42)
+g = Graph.from_edges(spark, raw.withColumn("weight", F.lit(1.0)))
+edges = g.edges.count()
+t0 = time.time()
+n_tri = triangle_count(g)
+wall = time.time() - t0
+print(json.dumps({"cpus": cpus, "wall_sec": wall, "units": edges,
+                  "throughput": edges / wall, "iters_per_hour": None,
+                  "n_triangles": n_tri,
+                  "partition_rows": {}}))
+spark.stop()
+"""
+
+
 def run_at(worker: str, cpus: int, params: dict) -> dict:
     code = worker % params
     out = subprocess.run(
@@ -155,6 +237,31 @@ JOBS = {
         {"repo": REPO, "n_pages": int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "120000"))},
         "webpipeline_extract_build_pr5",
         "pages_per_sec",
+    ),
+    # north-metric wall-time kernels: CC to convergence, 4 LPA rounds,
+    # degree-oriented triangle count (triangle scale set separately — the
+    # wedge join is superlinear in hub degree, so it runs a smaller RMAT)
+    "cc": (
+        CC_WORKER,
+        {"repo": REPO, "rmat_scale": RMAT_SCALE, "rmat_ef": RMAT_EF},
+        f"cc_converged_rmat{RMAT_SCALE}",
+        "edges_per_sec",
+    ),
+    "lpa": (
+        LPA_WORKER,
+        {"repo": REPO, "rmat_scale": RMAT_SCALE, "rmat_ef": RMAT_EF},
+        f"lpa4_rmat{RMAT_SCALE}",
+        "edge_rounds_per_sec",
+    ),
+    "triangles": (
+        TRIANGLES_WORKER,
+        {
+            "repo": REPO,
+            "tri_scale": int(os.environ.get("SPARK_GRAFT_SCALING_TRI_SCALE", "16")),
+            "tri_ef": int(os.environ.get("SPARK_GRAFT_SCALING_TRI_EF", "8")),
+        },
+        f"triangles_rmat{os.environ.get('SPARK_GRAFT_SCALING_TRI_SCALE', '16')}",
+        "edges_per_sec",
     ),
 }
 
