@@ -487,6 +487,26 @@ def q_mono_3cycle(spark, sf_dir):
     return spark.createDataFrame([(emb.count(),)], "n_embeddings long")
 
 
+def q_triad_census(spark, sf_dir):
+    """Full 16-class triadic census on the directed mod-211 graph (the
+    reference's triads.py workload as ONE closed-form pass instead of 13
+    isomorphism searches). Oracle = brute-force enumeration of all C(n,3)
+    vertex triples with the public Batagelj–Mrvar tricode table."""
+    from arkouda_njit_spark.operators import triadic_census
+
+    li = _read(spark, sf_dir, "lineitem")
+    dg = DiGraph.from_edges(
+        spark,
+        li.select(
+            F.pmod(F.col("l_orderkey"), F.lit(211)).alias("src"),
+            F.pmod(F.col("l_partkey") * 7 + F.col("l_suppkey"), F.lit(211)).alias("dst"),
+            F.lit(1.0).alias("weight"),
+        ).filter(F.col("src") != F.col("dst")),
+        num_partitions=_GRAPH_PARTITIONS,
+    )
+    return triadic_census(dg).select("triad_type", F.col("count").cast("long"))
+
+
 def q_jaccard(spark, sf_dir):
     """Vertex-pair Jaccard on graph B (pairs with >=1 common neighbor,
     jaccard >= 0.5) — operators.jaccard wedge formulation."""
@@ -796,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "events_top_users": q_events_top_users,
         "mono_3cycle": q_mono_3cycle,
+        "triad_census": q_triad_census,
         "jaccard": q_jaccard,
         "clean_corpus": q_clean_corpus,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -1055,6 +1076,53 @@ SELECT 'https://site' || CAST(v % 97 AS VARCHAR) || '.example/p' || CAST(v AS VA
 FROM pr{iters} ORDER BY ROUND(rank, 9) DESC, url LIMIT {topk}"""
     )
     return "".join(parts)
+
+
+def _triad_census_sql() -> str:
+    """Brute-force triadic census for the mod-211 digraph: enumerate every
+    sorted vertex triple, look up the 6 possible edges, map the 6-bit code
+    through the published Batagelj–Mrvar tricode table. Completely
+    independent of the engine's closed-form (combinatorial) evaluation."""
+    from arkouda_njit_spark.operators.triads import TRIAD_NAMES, _TRICODES
+
+    names = "[" + ", ".join(f"'{t}'" for t in TRIAD_NAMES) + "]"
+    tricodes = "[" + ", ".join(str(t) for t in _TRICODES) + "]"
+    name_rows = ", ".join(f"('{t}')" for t in TRIAD_NAMES)
+    return f"""
+WITH de AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey % 211 AS s, (l_partkey * 7 + l_suppkey) % 211 AS d
+  FROM lineitem WHERE l_orderkey % 211 <> (l_partkey * 7 + l_suppkey) % 211
+),
+verts AS MATERIALIZED (
+  SELECT DISTINCT v FROM (SELECT s AS v FROM de UNION ALL SELECT d FROM de)
+),
+tr AS (
+  SELECT a.v AS x1, b.v AS x2, c.v AS x3
+  FROM verts a JOIN verts b ON a.v < b.v JOIN verts c ON b.v < c.v
+),
+coded AS (
+  SELECT (CASE WHEN e1.s IS NOT NULL THEN 1 ELSE 0 END)
+       + (CASE WHEN e2.s IS NOT NULL THEN 2 ELSE 0 END)
+       + (CASE WHEN e3.s IS NOT NULL THEN 4 ELSE 0 END)
+       + (CASE WHEN e4.s IS NOT NULL THEN 8 ELSE 0 END)
+       + (CASE WHEN e5.s IS NOT NULL THEN 16 ELSE 0 END)
+       + (CASE WHEN e6.s IS NOT NULL THEN 32 ELSE 0 END) AS code
+  FROM tr
+  LEFT JOIN de e1 ON e1.s = tr.x1 AND e1.d = tr.x2
+  LEFT JOIN de e2 ON e2.s = tr.x2 AND e2.d = tr.x1
+  LEFT JOIN de e3 ON e3.s = tr.x1 AND e3.d = tr.x3
+  LEFT JOIN de e4 ON e4.s = tr.x3 AND e4.d = tr.x1
+  LEFT JOIN de e5 ON e5.s = tr.x2 AND e5.d = tr.x3
+  LEFT JOIN de e6 ON e6.s = tr.x3 AND e6.d = tr.x2
+),
+counted AS (
+  SELECT {names}[{tricodes}[code + 1]] AS triad_type, COUNT(*) AS cnt
+  FROM coded GROUP BY 1
+),
+allnames(triad_type) AS (VALUES {name_rows})
+SELECT a.triad_type, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS count
+FROM allnames a LEFT JOIN counted c ON a.triad_type = c.triad_type
+"""
 
 
 def _media_features_sql(n: int, seed: int, dim: int) -> str:
@@ -1523,6 +1591,7 @@ FROM de e1 JOIN de e2 ON e1.d = e2.s
            JOIN de e3 ON e2.d = e3.s AND e3.d = e1.s
 WHERE e1.s <> e2.d AND e1.s <> e1.d AND e2.s <> e2.d
 """,
+        "triad_census": _triad_census_sql(),
         "jaccard": """
 WITH
 und AS MATERIALIZED (

@@ -12,6 +12,7 @@ from .subgraph_search import (
     subgraph_monomorphism,
     subgraph_search,
 )
+from .triads import TRIAD_NAMES, triadic_census
 from .triangles import (
     triangle_count,
     triangle_total_reference,
@@ -36,6 +37,7 @@ __all__ = [
     "subgraph_search",
     "triangle_centrality",
     "triangle_count",
+    "triadic_census",
     "triangle_total_reference",
     "triangles",
     "triangles_per_vertex",
