@@ -83,11 +83,21 @@ def _triangle_rows_cached(graph: Graph) -> tuple[DataFrame, list[DataFrame]]:
     P = graph.num_partitions
     und = _undirected_simple_edges(graph).persist()
     o = oriented_edges(graph, und=und).repartition(P, "lo").persist()
+    # Join strategy: past ~1M edges the oriented/pair tables cross the
+    # broadcast threshold in estimated size anyway, but more importantly a
+    # BroadcastHashJoin builds its hash relation single-threaded on the
+    # driver — measured FLAT 2→8-thread scaling on RMAT-18 — and is
+    # impossible at 10^12 edges. shuffle_hash keeps the wedge self-join
+    # exchange-free (both sides share o's hashpartitioning(lo)) and builds
+    # per-partition hash maps in parallel; small graphs stay on the
+    # broadcast fast path.
+    big = graph.n_edges >= 1_000_000
+    sh = (lambda df: df.hint("shuffle_hash")) if big else (lambda df: df)
     w1 = o.select(F.col("lo").alias("p"), F.col("hi").alias("b"))
     w2 = o.select(F.col("lo").alias("p"), F.col("hi").alias("c"))
-    wedges = w1.join(w2, "p").filter(F.col("b") < F.col("c"))
+    wedges = w1.join(sh(w2), "p").filter(F.col("b") < F.col("c"))
     closed = wedges.join(
-        und,
+        sh(und),
         (F.col("b") == F.col("u")) & (F.col("c") == F.col("v")),
         "left_semi",
     ).select(F.col("p").alias("a"), "b", "c")
