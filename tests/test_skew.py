@@ -138,3 +138,23 @@ def test_rmat_cc_exact_under_skew(spark):
     got = connected_components(g)
     n_comps = got.select("component").distinct().count()
     assert n_comps == nx.number_connected_components(nxg)
+
+
+def test_rmat_triad_census_exact_under_skew(spark):
+    """Full census on a hub-heavy directed RMAT matches networkx, and the
+    16 classes partition C(n,3) exactly (the open classes are combinatorial
+    — a hub contributes arithmetic, not wedge rows)."""
+    from arkouda_njit_spark import DiGraph
+    from arkouda_njit_spark.operators import triadic_census
+
+    raw = rmat_graph(spark, scale=9, edge_factor=8, seed=17)
+    dg = DiGraph.from_edges(spark, raw.withColumn("weight", F.lit(1.0)))
+    got = {r["triad_type"]: r["count"] for r in triadic_census(dg).collect()}
+
+    nxg = nx.DiGraph()
+    for r in raw.select("src", "dst").filter(F.col("src") != F.col("dst")).collect():
+        nxg.add_edge(r["src"], r["dst"])
+    assert got == dict(nx.triadic_census(nxg))
+
+    n = dg.n_vertices
+    assert sum(got.values()) == n * (n - 1) * (n - 2) // 6
