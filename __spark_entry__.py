@@ -487,6 +487,31 @@ def q_mono_3cycle(spark, sf_dir):
     return spark.createDataFrame([(emb.count(),)], "n_embeddings long")
 
 
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization (sources/pages.py canonicalize_url) over messy
+    urls synthesized from lineitem keys — exercises fragment stripping,
+    scheme/host lowercasing, and default-port removal; oracle replays the
+    same normalization with DuckDB's own RE2 functions."""
+    from arkouda_njit_spark.sources import canonicalize_url
+
+    li = _read(spark, sf_dir, "lineitem")
+    messy = li.select(
+        F.concat(
+            F.lit("HTTP://Site"),
+            F.pmod("l_partkey", F.lit(50)).cast("string"),
+            F.lit(".Example"),
+            F.when(F.col("l_orderkey") % 3 == 0, ":80").otherwise(""),
+            F.lit("/Path"),
+            F.pmod("l_orderkey", F.lit(100)).cast("string"),
+            F.when(F.col("l_suppkey") % 2 == 0, "#frag").otherwise(""),
+        ).alias("url")
+    ).distinct()
+    return (
+        messy.select("url", canonicalize_url("url").alias("canonical"))
+        .orderBy("url")
+    )
+
+
 def q_triad_census(spark, sf_dir):
     """Full 16-class triadic census on the directed mod-211 graph (the
     reference's triads.py workload as ONE closed-form pass instead of 13
@@ -816,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "events_top_users": q_events_top_users,
         "mono_3cycle": q_mono_3cycle,
+        "url_canonicalize": q_url_canonicalize,
         "triad_census": q_triad_census,
         "jaccard": q_jaccard,
         "clean_corpus": q_clean_corpus,
@@ -1590,6 +1616,28 @@ SELECT COUNT(*) AS n_embeddings
 FROM de e1 JOIN de e2 ON e1.d = e2.s
            JOIN de e3 ON e2.d = e3.s AND e3.d = e1.s
 WHERE e1.s <> e2.d AND e1.s <> e1.d AND e2.s <> e2.d
+""",
+        "url_canonicalize": """
+WITH messy AS (
+  SELECT DISTINCT 'HTTP://Site' || CAST(l_partkey % 50 AS VARCHAR) || '.Example'
+         || (CASE WHEN l_orderkey % 3 = 0 THEN ':80' ELSE '' END)
+         || '/Path' || CAST(l_orderkey % 100 AS VARCHAR)
+         || (CASE WHEN l_suppkey % 2 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM lineitem
+),
+nofrag AS (SELECT url, regexp_replace(trim(url), '#.*$', '') AS u FROM messy),
+lowered AS (
+  SELECT url,
+         CASE WHEN regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) <> ''
+              THEN lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+                   || regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')
+              ELSE u END AS u
+  FROM nofrag
+)
+SELECT url,
+       regexp_replace(regexp_replace(u, '^(http://[^/?#:]+):80([/?#]|$)', '\\1\\2'),
+                      '^(https://[^/?#:]+):443([/?#]|$)', '\\1\\2') AS canonical
+FROM lowered
 """,
         "triad_census": _triad_census_sql(),
         "jaccard": """

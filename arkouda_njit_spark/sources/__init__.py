@@ -14,7 +14,13 @@ from .generators import (
     rmat_graph,
     watts_strogatz_graph,
 )
-from .pages import build_web_graph, extract_links, extract_text, generate_pages
+from .pages import (
+    build_web_graph,
+    canonicalize_url,
+    extract_links,
+    extract_text,
+    generate_pages,
+)
 
 __all__ = [
     "read_matrix_market_file",
@@ -33,4 +39,5 @@ __all__ = [
     "extract_links",
     "extract_text",
     "build_web_graph",
+    "canonicalize_url",
 ]

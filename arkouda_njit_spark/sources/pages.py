@@ -108,6 +108,28 @@ def generate_pages(
     return out
 
 
+def canonicalize_url(col):
+    """Canonical URL form, pure column expressions (no UDF):
+
+      * trim surrounding whitespace,
+      * lowercase the scheme://host prefix (path stays case-sensitive),
+      * strip the fragment (``#...``),
+      * strip default ports (``:80`` for http, ``:443`` for https).
+
+    Deliberately RE2-compatible regexes (no lookarounds) so the DuckDB
+    oracle can replay the same normalization."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.trim(c)
+    c = F.regexp_replace(c, r"#.*$", "")
+    # lowercase scheme://host (authority = everything before /, ?, #)
+    pre = F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    rest = F.regexp_replace(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    c = F.when(pre != "", F.concat(F.lower(pre), rest)).otherwise(c)
+    c = F.regexp_replace(c, r"^(http://[^/?#:]+):80([/?#]|$)", r"$1$2")
+    c = F.regexp_replace(c, r"^(https://[^/?#:]+):443([/?#]|$)", r"$1$2")
+    return c
+
+
 _HREF_SCHEMA = "url string, href string"
 
 
@@ -163,14 +185,27 @@ def extract_text(pages: DataFrame) -> DataFrame:
     return pages.select("url", _extract_text_udf()(F.col("html")).alias("text"))
 
 
-def build_web_graph(pages: DataFrame, num_partitions: int | None = None) -> DiGraph:
+def build_web_graph(
+    pages: DataFrame,
+    num_partitions: int | None = None,
+    canonicalize: bool = False,
+) -> DiGraph:
     """Canonical url→url DiGraph from a pages table.
 
     vertices(vid, label=url rank, url); edges weighted by duplicate-link
-    count; self-links dropped (digraphclass.py semantics)."""
+    count; self-links dropped (digraphclass.py semantics).
+    ``canonicalize=True`` normalizes both sides through
+    ``canonicalize_url`` first (so ``HTTP://Host#frag`` and ``http://host``
+    collapse to one vertex); off by default because the synthetic
+    generator already emits canonical urls."""
     spark = pages.sparkSession
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     links = extract_links(pages)
+    if canonicalize:
+        links = links.select(
+            canonicalize_url("url").alias("url"), canonicalize_url("href").alias("href")
+        )
+        pages = pages.withColumn("url", canonicalize_url("url"))
     # Keep only links to urls that exist as pages (dangling hrefs would
     # otherwise mint phantom vertices — a policy choice; CommonCrawl link
     # graphs typically keep them, the reference only knows int vertices).

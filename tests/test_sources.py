@@ -108,3 +108,39 @@ def test_build_web_graph(pages):
     indeg = g.in_degree()
     top = indeg.agg(F.max("in_degree")).collect()[0][0]
     assert top > 10
+
+
+def test_canonicalize_url_rules(spark):
+    from arkouda_njit_spark.sources import canonicalize_url
+
+    cases = [
+        ("  HTTP://WWW.Example.COM:80/Path/File#frag  ", "http://www.example.com/Path/File"),
+        ("https://Host.example:443/", "https://host.example/"),
+        ("https://host.example:8443/x", "https://host.example:8443/x"),
+        ("HTTP://site1.example/pUpper#a#b", "http://site1.example/pUpper"),
+        ("no-scheme/Path#f", "no-scheme/Path"),
+        ("http://h.example:80", "http://h.example"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in df.select(canonicalize_url("url").alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_build_web_graph_canonicalize_merges_variant_urls(spark):
+    from arkouda_njit_spark.sources import build_web_graph
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("http://a.example/p1", b'<html><body><a href="HTTP://B.Example/p2#x">l</a>'
+         b'<a href="http://b.example/p2">l</a></body></html>'),
+        ("HTTP://B.Example:80/p2#ignored", b"<html><body></body></html>"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary").select(
+        "url", F.lit(None).cast("timestamp").alias("warc_ts"), "html",
+        F.lit("").alias("text"), F.lit("en").alias("lang"),
+    )
+    g = build_web_graph(pages, num_partitions=2, canonicalize=True)
+    verts = {r["url"] for r in g.vertices.collect()}
+    assert verts == {"http://a.example/p1", "http://b.example/p2"}
+    edges = g.edges.collect()
+    assert len(edges) == 1 and edges[0]["weight"] == 2.0
