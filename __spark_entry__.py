@@ -487,6 +487,17 @@ def q_mono_3cycle(spark, sf_dir):
     return spark.createDataFrame([(emb.count(),)], "n_embeddings long")
 
 
+def q_bpe_tokens(spark, sf_dir):
+    """BPE-ish sub-word piece count (whitespace + punctuation boundaries);
+    oracle counts word runs + individual punctuation chars, which is the
+    same partition without lookarounds (RE2-safe for DuckDB)."""
+    from arkouda_njit_spark.functions import bpe_ish_token_count
+
+    return bpe_ish_token_count(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), F.col("n_bpe_tokens").cast("long")
+    )
+
+
 def q_url_canonicalize(spark, sf_dir):
     """URL canonicalization (sources/pages.py canonicalize_url) over messy
     urls synthesized from lineitem keys — exercises fragment stripping,
@@ -841,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "events_top_users": q_events_top_users,
         "mono_3cycle": q_mono_3cycle,
+        "bpe_tokens": q_bpe_tokens,
         "url_canonicalize": q_url_canonicalize,
         "triad_census": q_triad_census,
         "jaccard": q_jaccard,
@@ -1616,6 +1628,14 @@ SELECT COUNT(*) AS n_embeddings
 FROM de e1 JOIN de e2 ON e1.d = e2.s
            JOIN de e3 ON e2.d = e3.s AND e3.d = e1.s
 WHERE e1.s <> e2.d AND e1.s <> e1.d AND e2.s <> e2.d
+""",
+        "bpe_tokens": f"""
+WITH {_DOCS}
+SELECT doc_id,
+       CAST(len(regexp_extract_all(trim(text), '[0-9A-Za-z_]+'))
+            + length(regexp_replace(text, '[0-9A-Za-z_\\s]', '', 'g'))
+            AS BIGINT) AS n_bpe_tokens
+FROM docs
 """,
         "url_canonicalize": """
 WITH messy AS (
