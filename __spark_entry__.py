@@ -487,6 +487,22 @@ def q_mono_3cycle(spark, sf_dir):
     return spark.createDataFrame([(emb.count(),)], "n_embeddings long")
 
 
+def q_host_graph(spark, sf_dir):
+    """Host-level webgraph rollup (the Common-Crawl host-webgraph view):
+    url→url links aggregated to host→host weights. Oracle replays the
+    generator's link draws via the XXH64 port and aggregates in SQL."""
+    from arkouda_njit_spark.sources import build_host_graph
+
+    pages = generate_pages(spark, n_pages=500, links_per_page=8, seed=42)
+    g = build_host_graph(pages)
+    lab = g.vertices.select("vid", F.col("url").alias("host"))
+    return (
+        g.edges.join(lab.withColumnRenamed("vid", "src").withColumnRenamed("host", "src_host"), "src")
+        .join(lab.withColumnRenamed("vid", "dst").withColumnRenamed("host", "dst_host"), "dst")
+        .select("src_host", "dst_host", "weight")
+    )
+
+
 def q_bpe_tokens(spark, sf_dir):
     """BPE-ish sub-word piece count (whitespace + punctuation boundaries);
     oracle counts word runs + individual punctuation chars, which is the
@@ -852,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "events_top_users": q_events_top_users,
         "mono_3cycle": q_mono_3cycle,
+        "host_graph": q_host_graph,
         "bpe_tokens": q_bpe_tokens,
         "url_canonicalize": q_url_canonicalize,
         "triad_census": q_triad_census,
@@ -1060,13 +1077,9 @@ WHERE list_cosine_similarity(l.v, r.v) >= {threshold}
 """
 
 
-def _web_pagerank_sql(n_pages: int, links_per_page: int, seed: int, iters: int, topk: int) -> str:
-    """q_web_pagerank replay: regenerate the link draws host-side via the
-    XXH64 port (sources/pages.py's quadratic-skew formula), then replay
-    canonicalization (self-link drop, dedup) and ``iters`` unrolled
-    weighted-uniform power iterations with dangling-mass redistribution.
-    The html-extraction leg is covered because any extraction divergence
-    changes the Spark-side edge set and therefore every rank."""
+def _page_link_values(n_pages: int, links_per_page: int, seed: int) -> str:
+    """The synthetic generator's (src_pid, dst_pid) link draws as a SQL
+    VALUES body, replayed host-side through the XXH64 port."""
     from arkouda_njit_spark.functions.xxh64 import u01
 
     draws = []
@@ -1075,7 +1088,35 @@ def _web_pagerank_sql(n_pages: int, links_per_page: int, seed: int, iters: int, 
         u = u01(("long", link_id), ("int", seed))
         dst = int(u * u * n_pages)  # floor: u*u*n_pages < n_pages
         draws.append(f"({pid},{dst})")
-    values = ",".join(draws)
+    return ",".join(draws)
+
+
+def _host_graph_sql(n_pages: int, links_per_page: int, seed: int) -> str:
+    """build_host_graph replay: same replayed link draws, pids mapped to
+    their generator hosts (site<pid%97>.example), aggregated to host→host
+    weights with self-host links dropped."""
+    values = _page_link_values(n_pages, links_per_page, seed)
+    return f"""
+WITH links(src, dst) AS (VALUES {values}),
+hl AS (
+  SELECT 'site' || CAST(src % 97 AS VARCHAR) || '.example' AS src_host,
+         'site' || CAST(dst % 97 AS VARCHAR) || '.example' AS dst_host
+  FROM links
+)
+SELECT src_host, dst_host, CAST(COUNT(*) AS DOUBLE) AS weight
+FROM hl WHERE src_host <> dst_host
+GROUP BY 1, 2
+"""
+
+
+def _web_pagerank_sql(n_pages: int, links_per_page: int, seed: int, iters: int, topk: int) -> str:
+    """q_web_pagerank replay: regenerate the link draws host-side via the
+    XXH64 port (sources/pages.py's quadratic-skew formula), then replay
+    canonicalization (self-link drop, dedup) and ``iters`` unrolled
+    weighted-uniform power iterations with dangling-mass redistribution.
+    The html-extraction leg is covered because any extraction divergence
+    changes the Spark-side edge set and therefore every rank."""
+    values = _page_link_values(n_pages, links_per_page, seed)
     base = repr((1.0 - 0.85))  # Spark computes (1-alpha) in doubles
     parts = [
         f"""
@@ -1543,6 +1584,7 @@ WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5
             n_pages=500, links_per_page=8, seed=42, iters=20, topk=25
         ),
         "media_features": _media_features_sql(n=120, seed=42, dim=16),
+        "host_graph": _host_graph_sql(n_pages=500, links_per_page=8, seed=42),
         "simhash": f"""
 WITH {_DOCS},
 tok AS (

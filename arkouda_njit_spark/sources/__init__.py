@@ -15,8 +15,10 @@ from .generators import (
     watts_strogatz_graph,
 )
 from .pages import (
+    build_host_graph,
     build_web_graph,
     canonicalize_url,
+    extract_host,
     extract_links,
     extract_text,
     generate_pages,
@@ -38,6 +40,8 @@ __all__ = [
     "generate_pages",
     "extract_links",
     "extract_text",
+    "build_host_graph",
     "build_web_graph",
     "canonicalize_url",
+    "extract_host",
 ]

@@ -185,6 +185,63 @@ def extract_text(pages: DataFrame) -> DataFrame:
     return pages.select("url", _extract_text_udf()(F.col("html")).alias("text"))
 
 
+def extract_host(col):
+    """Lowercased host (authority minus port/userinfo) of a URL column —
+    empty string when the url has no ``scheme://host`` part. RE2-safe."""
+    c = F.col(col) if isinstance(col, str) else col
+    auth = F.regexp_extract(F.trim(c), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    host = F.regexp_replace(auth, r"^[^@]*@", "")  # strip userinfo
+    host = F.regexp_replace(host, r":[0-9]*$", "")  # strip port
+    return F.lower(host)
+
+
+def build_host_graph(pages: DataFrame, num_partitions: int | None = None) -> DiGraph:
+    """Host-level link graph: url→url links aggregated to host→host (the
+    Common-Crawl "host webgraph" rollup). Weight = number of url-level
+    links between the two hosts (self-host links dropped); vertex labels
+    are dense ranks of the host strings. Everything is one extraction +
+    one aggregation on top of the page-level machinery — at 10^12 pages
+    the host graph is ~3 orders of magnitude smaller than the url graph,
+    so this is the cheap summary view."""
+    spark = pages.sparkSession
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    links = extract_links(pages)
+    links = links.join(pages.select(F.col("url").alias("href")), "href", "left_semi")
+    hl = links.select(
+        extract_host("url").alias("src_host"), extract_host("href").alias("dst_host")
+    ).filter(
+        (F.col("src_host") != "") & (F.col("dst_host") != "")
+        & (F.col("src_host") != F.col("dst_host"))
+    )
+    dedup = hl.groupBy("src_host", "dst_host").agg(
+        F.count("*").cast("double").alias("weight")
+    )
+    hosts = (
+        dedup.select(F.col("src_host").alias("h"))
+        .unionAll(dedup.select(F.col("dst_host").alias("h")))
+        .distinct()
+    )
+    vertices = dense_rank_ids(hosts, "h", P, out_col="vid").withColumnRenamed("h", "host")
+    remapped = (
+        dedup.join(vertices.select(F.col("host").alias("src_host"), F.col("vid").alias("_svid")), "src_host")
+        .join(vertices.select(F.col("host").alias("dst_host"), F.col("vid").alias("_dvid")), "dst_host")
+        .select(F.col("_svid").alias("src"), F.col("_dvid").alias("dst"), "weight")
+    )
+    edges = (
+        remapped.withColumn("src_block", F.pmod(F.xxhash64("src"), F.lit(P)).cast("int"))
+        .select("src_block", "src", "dst", "weight")
+        .repartition(P, "src")
+        .sortWithinPartitions("src", "dst")
+        .persist()
+    )
+    verts = (
+        vertices.select("vid", F.col("vid").alias("label"), F.col("host").alias("url"))
+        .repartition(P, "vid")
+        .persist()
+    )
+    return DiGraph(edges, verts, weighted=True, num_partitions=P)
+
+
 def build_web_graph(
     pages: DataFrame,
     num_partitions: int | None = None,
