@@ -1,5 +1,13 @@
 from .events import sessionize, windowed_event_counts
+from .pages import StreamingPageIngestor, streaming_page_ingest
 from .stateful import running_user_stats
 from .triangles import streaming_triangle_count
 
-__all__ = ["windowed_event_counts", "sessionize", "streaming_triangle_count", "running_user_stats"]
+__all__ = [
+    "windowed_event_counts",
+    "sessionize",
+    "streaming_triangle_count",
+    "running_user_stats",
+    "StreamingPageIngestor",
+    "streaming_page_ingest",
+]

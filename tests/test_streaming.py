@@ -221,3 +221,105 @@ def test_stateful_running_user_stats(spark, tmp_path):
     assert tuple(last.loc[1]) == (3, 35.0, 20.0)  # state carried across batches
     assert tuple(last.loc[3]) == (1, 7.0, 7.0)
     assert tuple(last.loc[2]) == (1, 1.0, 1.0)
+
+
+def _mk_pages(spark, rows):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        [(u, ts, h) for u, ts, h in rows], "url string, warc_ts string, html binary"
+    ).select("url", F.col("warc_ts").cast("timestamp").alias("warc_ts"), "html")
+
+
+def _page(url, targets):
+    html = "".join(f'<a href="{t}">l</a>' for t in targets)
+    return f"<html><body>{html}</body></html>".encode()
+
+
+def test_streaming_page_ingest_recrawl_replaces(spark, tmp_path):
+    from arkouda_njit_spark.streaming import StreamingPageIngestor
+
+    ing = StreamingPageIngestor(spark, str(tmp_path / "state"))
+    a, b, c = "http://s.example/a", "http://s.example/b", "http://s.example/c"
+    ing.process_batch(
+        _mk_pages(
+            spark,
+            [
+                (a, "2024-01-01 00:00:00", _page(a, [b, b, c])),
+                (b, "2024-01-01 00:00:01", _page(b, [a])),
+                (c, "2024-01-01 00:00:02", _page(c, [])),
+            ],
+        ),
+        epoch_id=0,
+    )
+    # re-crawl of a: new outlinks replace the old ones entirely
+    ing.process_batch(
+        _mk_pages(spark, [(a, "2024-01-02 00:00:00", _page(a, [c]))]), epoch_id=1
+    )
+    links = {
+        (r["url"], r["href"]) for r in ing.links().collect() if r["href"] is not None
+    }
+    assert links == {(a, c), (b, a)}
+    assert ing.n_pages == 3  # a, b, c all still known (c has no outlinks)
+
+    g = ing.snapshot_graph(num_partitions=2)
+    edges = {
+        (r["src_url"], r["dst_url"], r["weight"])
+        for r in g.edges.join(
+            g.vertices.select(F.col("vid").alias("src"), F.col("url").alias("src_url")),
+            "src",
+        )
+        .join(
+            g.vertices.select(F.col("vid").alias("dst"), F.col("url").alias("dst_url")),
+            "dst",
+        )
+        .select("src_url", "dst_url", "weight")
+        .collect()
+    }
+    assert edges == {(a, c, 1.0), (b, a, 1.0)}
+
+
+def test_streaming_page_ingest_epoch_replay_idempotent(spark, tmp_path):
+    from arkouda_njit_spark.streaming import StreamingPageIngestor
+
+    ing = StreamingPageIngestor(spark, str(tmp_path / "state"))
+    a, b = "http://s.example/a", "http://s.example/b"
+    batch = _mk_pages(spark, [(a, "2024-01-01 00:00:00", _page(a, [b, b]))])
+    ing.process_batch(batch, epoch_id=0)
+    before = sorted(map(tuple, ing.links().collect()))
+    ing.process_batch(batch, epoch_id=0)  # replayed epoch after a failure
+    assert sorted(map(tuple, ing.links().collect())) == before
+    assert ing.links().count() == 2  # duplicate links preserved (weight=2)
+
+
+def test_streaming_page_ingest_end_to_end_matches_batch(spark, tmp_path):
+    from arkouda_njit_spark.sources import build_web_graph, generate_pages
+    from arkouda_njit_spark.streaming import StreamingPageIngestor, streaming_page_ingest
+
+    pages = generate_pages(spark, n_pages=120, links_per_page=5, seed=9)
+    src = tmp_path / "pages_in"
+    # two files => at least one multi-batch availableNow pass
+    pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 0).write.parquet(
+        str(src / "p0.parquet")
+    )
+    pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 1).write.parquet(
+        str(src / "p1.parquet")
+    )
+    stream = (
+        spark.readStream.schema(pages.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = streaming_page_ingest(
+        stream, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    ing = StreamingPageIngestor(spark, str(tmp_path / "state"))
+    got = ing.snapshot_graph(num_partitions=4)
+    want = build_web_graph(generate_pages(spark, n_pages=120, links_per_page=5, seed=9), num_partitions=4)
+    got_edges = sorted(map(tuple, got.edges.select("src", "dst", "weight").collect()))
+    want_edges = sorted(map(tuple, want.edges.select("src", "dst", "weight").collect()))
+    assert got_edges == want_edges
+    assert sorted(map(tuple, got.vertices.select("vid", "url").collect())) == sorted(
+        map(tuple, want.vertices.select("vid", "url").collect())
+    )
