@@ -406,7 +406,9 @@ def q_events_top_users(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# no-oracle entries (LSH/ANN/multimodal/web pipeline — rows-only checks)
+# LSH / ANN / multimodal / web-pipeline queries (oracled like everything
+# else — md5 hash families + host-side XXH64 replay of data-independent
+# constants; see the module docstring)
 # ---------------------------------------------------------------------------
 
 

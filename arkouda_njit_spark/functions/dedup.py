@@ -103,6 +103,7 @@ def ngram_jaccard_pairs(
     candidates: DataFrame | None = None,
     max_shingle_df: int | None = None,
     fanout_limit: int = 10**9,
+    fallback_whole_text: bool = False,
 ) -> DataFrame:
     """(a, b, jaccard) over distinct doc pairs sharing >=1 shingle
     (optionally restricted to an LSH candidate pair set).
@@ -118,9 +119,18 @@ def ngram_jaccard_pairs(
     document frequency exceeds it are excluded from *pair generation*
     only; surviving pairs are then scored with their EXACT jaccard over
     all shingles (two-phase), so values are unchanged — only pairs whose
-    every shared shingle is ultra-common are missed (by design)."""
+    every shared shingle is ultra-common are missed (by design).
+
+    ``fallback_whole_text=True`` gives documents shorter than ``shingle_n``
+    words their trimmed whole text as one shingle — the same fallback
+    ``minhash_signatures`` applies, so the LSH verify stage scores exactly
+    the shingle sets the signatures were computed from (otherwise two
+    identical short docs become candidates but verify to zero overlap)."""
+    sh = shingles(text_col, shingle_n)
+    if fallback_whole_text:
+        sh = F.when(F.size(sh) > 0, sh).otherwise(F.array(F.trim(F.col(text_col))))
     ex = (
-        df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("sh"))
+        df.select(F.col(id_col), F.explode(sh).alias("sh"))
         .distinct()
         .persist()
     )
@@ -196,7 +206,13 @@ def minhash_near_duplicates(
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     cands = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
     return ngram_jaccard_pairs(
-        df, id_col, text_col, shingle_n, threshold=threshold, candidates=cands
+        df,
+        id_col,
+        text_col,
+        shingle_n,
+        threshold=threshold,
+        candidates=cands,
+        fallback_whole_text=True,  # score the sets the signatures hashed
     )
 
 

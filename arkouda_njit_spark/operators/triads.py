@@ -107,17 +107,21 @@ def triadic_census(graph: Graph) -> DataFrame:
         .na.fill(0)
     )
     mm, oo, ii = [F.coalesce(F.col(c), F.lit(0)).cast("long") for c in ("m", "o", "i")]
+    # C(k,2) via shiftright keeps the arithmetic in 64-bit integers —
+    # `/ 2` would promote to double and lose exactness past 2^53, which
+    # the hub-combinatorics regime this module advertises can reach
     raw = per_vertex.agg(
-        F.sum(mm * (mm - 1) / 2).alias("mm"),
+        F.sum(F.shiftright(mm * (mm - 1), 1)).alias("mm"),
         F.sum(mm * oo).alias("mo"),
         F.sum(mm * ii).alias("mi"),
-        F.sum(oo * (oo - 1) / 2).alias("oo"),
-        F.sum(ii * (ii - 1) / 2).alias("ii"),
+        F.sum(F.shiftright(oo * (oo - 1), 1)).alias("oo"),
+        F.sum(F.shiftright(ii * (ii - 1), 1)).alias("ii"),
         F.sum(oo * ii).alias("oi"),
     ).collect()[0]
 
-    # --- closed triads: tricode over enumerated triangles ------------------
-    tri, caches = _triangle_rows_cached(graph)
+    # --- closed triads: tricode over enumerated triangles (reusing the
+    # dyad table as the pair set — no second symmetrize+distinct shuffle) --
+    tri, caches = _triangle_rows_cached(graph, und=dy.select("u", "v"))
     # vid-sorted triple (x1 < x2 < x3) so the bit layout is well-defined
     srt = tri.select(
         F.array_sort(F.array("a", "b", "c")).alias("t")

@@ -75,13 +75,18 @@ def oriented_edges(graph: Graph, und: DataFrame | None = None) -> DataFrame:
     return ordered
 
 
-def _triangle_rows_cached(graph: Graph) -> tuple[DataFrame, list[DataFrame]]:
+def _triangle_rows_cached(
+    graph: Graph, und: DataFrame | None = None
+) -> tuple[DataFrame, list[DataFrame]]:
     """(triangle rows, cache handles): the pair set and oriented table are
     persisted ONCE (one symmetrize+distinct shuffle feeds both the degree
     orientation and the closing-edge semi-join); the caller unpersists the
-    handles after its terminal action."""
+    handles after its terminal action. Pass ``und`` (distinct (u,v), u<v)
+    to reuse a pair set the caller already computed — e.g. the triad
+    census's dyad table — instead of re-running the symmetrize+distinct
+    shuffle."""
     P = graph.num_partitions
-    und = _undirected_simple_edges(graph).persist()
+    und = (_undirected_simple_edges(graph) if und is None else und).persist()
     o = oriented_edges(graph, und=und).repartition(P, "lo").persist()
     # Join strategy: past ~1M edges the oriented/pair tables cross the
     # broadcast threshold in estimated size anyway, but more importantly a

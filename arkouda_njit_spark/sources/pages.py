@@ -147,7 +147,14 @@ def extract_links(pages: DataFrame) -> DataFrame:
             # repeat/concatenate instead of DataFrame.explode — explode's
             # index machinery was ~3× slower cold (no per-row Python loop,
             # per the input_hint requirement)
-            lists = pdf["html"].str.decode("utf-8", errors="replace").str.findall(pat)
+            # null html (nullable binary column) must yield zero links, not
+            # a NaN that breaks len/concatenate below
+            lists = (
+                pdf["html"]
+                .fillna(b"")
+                .str.decode("utf-8", errors="replace")
+                .str.findall(pat)
+            )
             counts = lists.str.len().to_numpy()
             hrefs = (
                 np.concatenate([np.empty(0, dtype=object), *lists])
@@ -195,6 +202,48 @@ def extract_host(col):
     return F.lower(host)
 
 
+def _string_keyed_digraph(
+    dedup: DataFrame, src_col: str, dst_col: str, P: int, eager: bool = False
+) -> DiGraph:
+    """Assemble the engine's canonical DiGraph from a deduplicated
+    string-keyed edge table (src_col, dst_col, weight): dense vid remap by
+    ascending key, src_block tag, src-partitioned sorted edge buckets.
+    One implementation for the url graph, the host rollup, and streaming
+    snapshots — ``eager`` swaps persist() for an eager localCheckpoint so
+    the result outlives its source files (streaming state GC)."""
+    keys = (
+        dedup.select(F.col(src_col).alias("u"))
+        .unionAll(dedup.select(F.col(dst_col).alias("u")))
+        .distinct()
+    )
+    vertices = dense_rank_ids(keys, "u", P, out_col="vid").withColumnRenamed("u", "url")
+    remapped = (
+        dedup.join(
+            vertices.select(F.col("url").alias(src_col), F.col("vid").alias("_svid")),
+            src_col,
+        )
+        .join(
+            vertices.select(F.col("url").alias(dst_col), F.col("vid").alias("_dvid")),
+            dst_col,
+        )
+        .select(F.col("_svid").alias("src"), F.col("_dvid").alias("dst"), "weight")
+    )
+
+    def hold(df):
+        return df.localCheckpoint(eager=True) if eager else df.persist()
+
+    edges = hold(
+        remapped.withColumn("src_block", F.pmod(F.xxhash64("src"), F.lit(P)).cast("int"))
+        .select("src_block", "src", "dst", "weight")
+        .repartition(P, "src")
+        .sortWithinPartitions("src", "dst")
+    )
+    verts = hold(
+        vertices.select("vid", F.col("vid").alias("label"), "url").repartition(P, "vid")
+    )
+    return DiGraph(edges, verts, weighted=True, num_partitions=P)
+
+
 def build_host_graph(pages: DataFrame, num_partitions: int | None = None) -> DiGraph:
     """Host-level link graph: url→url links aggregated to host→host (the
     Common-Crawl "host webgraph" rollup). Weight = number of url-level
@@ -216,30 +265,7 @@ def build_host_graph(pages: DataFrame, num_partitions: int | None = None) -> DiG
     dedup = hl.groupBy("src_host", "dst_host").agg(
         F.count("*").cast("double").alias("weight")
     )
-    hosts = (
-        dedup.select(F.col("src_host").alias("h"))
-        .unionAll(dedup.select(F.col("dst_host").alias("h")))
-        .distinct()
-    )
-    vertices = dense_rank_ids(hosts, "h", P, out_col="vid").withColumnRenamed("h", "host")
-    remapped = (
-        dedup.join(vertices.select(F.col("host").alias("src_host"), F.col("vid").alias("_svid")), "src_host")
-        .join(vertices.select(F.col("host").alias("dst_host"), F.col("vid").alias("_dvid")), "dst_host")
-        .select(F.col("_svid").alias("src"), F.col("_dvid").alias("dst"), "weight")
-    )
-    edges = (
-        remapped.withColumn("src_block", F.pmod(F.xxhash64("src"), F.lit(P)).cast("int"))
-        .select("src_block", "src", "dst", "weight")
-        .repartition(P, "src")
-        .sortWithinPartitions("src", "dst")
-        .persist()
-    )
-    verts = (
-        vertices.select("vid", F.col("vid").alias("label"), F.col("host").alias("url"))
-        .repartition(P, "vid")
-        .persist()
-    )
-    return DiGraph(edges, verts, weighted=True, num_partitions=P)
+    return _string_keyed_digraph(dedup, "src_host", "dst_host", P)
 
 
 def build_web_graph(
@@ -272,30 +298,4 @@ def build_web_graph(
         .groupBy("url", "href")
         .agg(F.count("*").cast("double").alias("weight"))
     )
-    urls = (
-        dedup.select(F.col("url").alias("u"))
-        .unionAll(dedup.select(F.col("href").alias("u")))
-        .distinct()
-    )
-    vertices = dense_rank_ids(urls, "u", P, out_col="vid").withColumnRenamed("u", "url")
-    remapped = (
-        dedup.join(vertices.select("url", F.col("vid").alias("_svid")), "url")
-        .join(
-            vertices.select(F.col("url").alias("href"), F.col("vid").alias("_dvid")),
-            "href",
-        )
-        .select(F.col("_svid").alias("src"), F.col("_dvid").alias("dst"), "weight")
-    )
-    edges = (
-        remapped.withColumn("src_block", F.pmod(F.xxhash64("src"), F.lit(P)).cast("int"))
-        .select("src_block", "src", "dst", "weight")
-        .repartition(P, "src")
-        .sortWithinPartitions("src", "dst")
-        .persist()
-    )
-    verts = (
-        vertices.select("vid", F.col("vid").alias("label"), "url")
-        .repartition(P, "vid")
-        .persist()
-    )
-    return DiGraph(edges, verts, weighted=True, num_partitions=P)
+    return _string_keyed_digraph(dedup, "url", "href", P)

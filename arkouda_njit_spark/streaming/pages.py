@@ -35,16 +35,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..graph import DiGraph
-from ..plans.partitioning import dense_rank_ids
-from ..sources.pages import extract_links
+from ..sources.pages import _string_keyed_digraph, extract_links
 
 
 class StreamingPageIngestor:
     """foreachBatch sink: pages(url, warc_ts, html, ...) → durable link state."""
 
-    def __init__(self, spark: SparkSession, state_dir: str):
+    def __init__(self, spark: SparkSession, state_dir: str, checkpoint_id: str | None = None):
         self.spark = spark
         self.state_dir = state_dir
+        self.checkpoint_id = checkpoint_id
         self.manifest_path = os.path.join(state_dir, "manifest.json")
         os.makedirs(state_dir, exist_ok=True)
 
@@ -52,7 +52,8 @@ class StreamingPageIngestor:
         if os.path.exists(self.manifest_path):
             with open(self.manifest_path) as f:
                 return json.load(f)
-        return {"epoch": None, "links_dir": None, "seq": 0, "n_pages": 0}
+        return {"epoch": None, "links_dir": None, "seq": 0, "n_pages": 0,
+                "checkpoint_id": self.checkpoint_id}
 
     def _promote(self, manifest: dict) -> None:
         tmp = self.manifest_path + ".tmp"
@@ -62,7 +63,11 @@ class StreamingPageIngestor:
 
     def links(self) -> DataFrame:
         """Current (url, warc_ts, href) state — one row per outlink of the
-        newest ingested version of each url."""
+        newest ingested version of each url (href NULL for pages with no
+        outlinks). Lazy reader over the current state dir: collect it (or
+        localCheckpoint) before the next ``process_batch``, which garbage-
+        collects superseded state dirs; ``snapshot_graph`` returns an
+        eagerly-checkpointed graph for exactly that reason."""
         m = self._manifest()
         if m["links_dir"]:
             return self.spark.read.parquet(os.path.join(self.state_dir, m["links_dir"]))
@@ -74,8 +79,25 @@ class StreamingPageIngestor:
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int | None = None) -> int:
         m = self._manifest()
-        if epoch_id is not None and m["epoch"] is not None and epoch_id <= m["epoch"]:
+        # Epoch ids restart at 0 when a stream is started with a FRESH
+        # checkpoint location against existing state (e.g. after checkpoint
+        # loss). The replay guard is therefore scoped to the checkpoint
+        # identity: a different checkpoint_id resets the guard instead of
+        # silently discarding every new batch as a "replay".
+        same_ckpt = (
+            self.checkpoint_id is None
+            or m.get("checkpoint_id") is None
+            or m.get("checkpoint_id") == self.checkpoint_id
+        )
+        if (
+            same_ckpt
+            and epoch_id is not None
+            and m["epoch"] is not None
+            and epoch_id <= m["epoch"]
+        ):
             return m["n_pages"]  # replayed epoch: already applied
+        if not same_ckpt:
+            m = {**m, "epoch": None}
         # newest version of each url within the batch (re-crawls in one
         # batch collapse deterministically: max warc_ts, ties broken by
         # content hash so the pick is partition-invariant)
@@ -110,7 +132,13 @@ class StreamingPageIngestor:
             .count()
         )
         self._promote(
-            {"epoch": epoch_id, "links_dir": new_dir, "seq": seq, "n_pages": n_pages}
+            {
+                "epoch": epoch_id,
+                "links_dir": new_dir,
+                "seq": seq,
+                "n_pages": n_pages,
+                "checkpoint_id": self.checkpoint_id or m.get("checkpoint_id"),
+            }
         )
         if m["links_dir"]:
             import shutil
@@ -134,42 +162,19 @@ class StreamingPageIngestor:
             .groupBy("url", "href")
             .agg(F.count("*").cast("double").alias("weight"))
         )
-        urls = (
-            dedup.select(F.col("url").alias("u"))
-            .unionAll(dedup.select(F.col("href").alias("u")))
-            .distinct()
-        )
-        vertices = dense_rank_ids(urls, "u", P, out_col="vid").withColumnRenamed("u", "url")
-        remapped = (
-            dedup.join(vertices.select("url", F.col("vid").alias("_svid")), "url")
-            .join(
-                vertices.select(F.col("url").alias("href"), F.col("vid").alias("_dvid")),
-                "href",
-            )
-            .select(F.col("_svid").alias("src"), F.col("_dvid").alias("dst"), "weight")
-        )
-        edges = (
-            remapped.withColumn(
-                "src_block", F.pmod(F.xxhash64("src"), F.lit(P)).cast("int")
-            )
-            .select("src_block", "src", "dst", "weight")
-            .repartition(P, "src")
-            .sortWithinPartitions("src", "dst")
-            .persist()
-        )
-        verts = (
-            vertices.select("vid", F.col("vid").alias("label"), "url")
-            .repartition(P, "vid")
-            .persist()
-        )
-        return DiGraph(edges, verts, weighted=True, num_partitions=P)
+        # eager=True: the snapshot must stay valid after process_batch
+        # garbage-collects the state dir it was read from (a lazy persist
+        # would re-read deleted files)
+        return _string_keyed_digraph(dedup, "url", "href", P, eager=True)
 
 
 def streaming_page_ingest(page_stream: DataFrame, state_dir: str, checkpoint_dir: str):
     """Attach the ingestor to a streaming pages DataFrame. Returns the
     StreamingQuery; read state via ``StreamingPageIngestor(spark,
     state_dir).links()`` / ``.snapshot_graph()``."""
-    ingestor = StreamingPageIngestor(page_stream.sparkSession, state_dir)
+    ingestor = StreamingPageIngestor(
+        page_stream.sparkSession, state_dir, checkpoint_id=os.path.abspath(checkpoint_dir)
+    )
     return (
         page_stream.writeStream.foreachBatch(
             lambda df, epoch: ingestor.process_batch(df, epoch)

@@ -79,9 +79,13 @@ class StreamingTriangleCounter:
     crash). Replayed epochs (foreachBatch redelivery after failure) are
     skipped idempotently via the last-applied ``epoch`` in the manifest."""
 
-    def __init__(self, spark: SparkSession, state_dir: str):
+    def __init__(self, spark: SparkSession, state_dir: str, checkpoint_id: str | None = None):
         self.spark = spark
         self.state_dir = state_dir
+        # scope the epoch-replay guard to a checkpoint identity: epoch ids
+        # restart at 0 under a fresh checkpoint location, which must reset
+        # the guard rather than discard every new batch as a replay
+        self.checkpoint_id = checkpoint_id
         self.manifest_path = os.path.join(state_dir, "manifest.json")
         os.makedirs(state_dir, exist_ok=True)
 
@@ -134,13 +138,21 @@ class StreamingTriangleCounter:
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int | None = None) -> int:
         m = self._manifest()
+        same_ckpt = (
+            self.checkpoint_id is None
+            or m.get("checkpoint_id") is None
+            or m.get("checkpoint_id") == self.checkpoint_id
+        )
         if (
-            epoch_id is not None
+            same_ckpt
+            and epoch_id is not None
             and m["epoch"] is not None
             and epoch_id <= m["epoch"]
         ):
             # replayed epoch after a failure: already applied, skip
             return m["triangles"]
+        if not same_ckpt:
+            m = {**m, "epoch": None}
         batch = _canon(batch_df).localCheckpoint(eager=True)
         state = self._state().localCheckpoint(eager=True)
         fresh = batch.join(state, ["u", "v"], "left_anti").localCheckpoint(eager=True)
@@ -156,7 +168,13 @@ class StreamingTriangleCounter:
         )
         total = m["triangles"] + delta
         self._promote(
-            {"triangles": total, "epoch": epoch_id, "edges_dir": new_dir, "seq": seq}
+            {
+                "triangles": total,
+                "epoch": epoch_id,
+                "edges_dir": new_dir,
+                "seq": seq,
+                "checkpoint_id": self.checkpoint_id or m.get("checkpoint_id"),
+            }
         )
         # best-effort cleanup of the superseded state dir
         if m["edges_dir"]:
@@ -174,7 +192,9 @@ def streaming_triangle_count(
     """Attach the incremental counter to a streaming (src,dst) DataFrame.
     Returns the StreamingQuery; read progress via
     ``StreamingTriangleCounter(spark, state_dir).total``."""
-    counter = StreamingTriangleCounter(edge_stream.sparkSession, state_dir)
+    counter = StreamingTriangleCounter(
+        edge_stream.sparkSession, state_dir, checkpoint_id=os.path.abspath(checkpoint_dir)
+    )
     return (
         edge_stream.writeStream.foreachBatch(
             lambda df, epoch: counter.process_batch(df, epoch)

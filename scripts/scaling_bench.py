@@ -197,6 +197,10 @@ spark.sparkContext.setLogLevel("ERROR")
 raw = rmat_graph(spark, scale=%(tri_scale)d, edge_factor=%(tri_ef)d, seed=42)
 g = Graph.from_edges(spark, raw.withColumn("weight", F.lit(1.0)))
 edges = g.edges.count()
+# warmup (JIT + codegen) on a small graph, like the cc/lpa workers
+warm = Graph.from_edges(spark, rmat_graph(spark, scale=10, edge_factor=4, seed=7)
+                        .withColumn("weight", F.lit(1.0)))
+triangle_count(warm)
 t0 = time.time()
 n_tri = triangle_count(g)
 wall = time.time() - t0

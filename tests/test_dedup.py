@@ -128,3 +128,18 @@ def test_simhash_near_duplicates(corpus):
     assert pairs[(0, 3)] == 0
     assert (0, 1) in pairs  # one-word swap stays within hamming 4
     assert (2, 4) not in pairs
+
+
+def test_minhash_near_duplicates_short_docs_verify_with_fallback(spark):
+    """Identical docs shorter than the shingle width must come out as
+    near-duplicates: the verify stage scores the same whole-text-fallback
+    shingle sets the signatures hashed (fallback_whole_text)."""
+    docs = spark.createDataFrame(
+        [(0, "tiny doc"), (1, "tiny doc"), (2, "something else entirely")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in minhash_near_duplicates(docs, threshold=0.7).collect()
+    }
+    assert pairs == {(0, 1): 1.0}

@@ -144,3 +144,20 @@ def test_build_web_graph_canonicalize_merges_variant_urls(spark):
     assert verts == {"http://a.example/p1", "http://b.example/p2"}
     edges = g.edges.collect()
     assert len(edges) == 1 and edges[0]["weight"] == 2.0
+
+
+def test_extract_links_null_html(spark):
+    from arkouda_njit_spark.sources import extract_links
+    from pyspark.sql import functions as F
+
+    pages = spark.createDataFrame(
+        [
+            ("http://a.example/p", b'<a href="http://b.example/q">l</a>'),
+            ("http://b.example/q", None),
+        ],
+        "url string, html binary",
+    )
+    rows = extract_links(pages).collect()
+    assert [(r["url"], r["href"]) for r in rows] == [
+        ("http://a.example/p", "http://b.example/q")
+    ]

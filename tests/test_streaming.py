@@ -323,3 +323,24 @@ def test_streaming_page_ingest_end_to_end_matches_batch(spark, tmp_path):
     assert sorted(map(tuple, got.vertices.select("vid", "url").collect())) == sorted(
         map(tuple, want.vertices.select("vid", "url").collect())
     )
+
+
+def test_streaming_page_snapshot_survives_state_gc(spark, tmp_path):
+    """A snapshot taken before the next batch must stay queryable after
+    process_batch garbage-collects the state dir it was read from."""
+    from arkouda_njit_spark.streaming import StreamingPageIngestor
+
+    ing = StreamingPageIngestor(spark, str(tmp_path / "state"))
+    a, b = "http://s.example/a", "http://s.example/b"
+    ing.process_batch(
+        _mk_pages(spark, [(a, "2024-01-01 00:00:00", _page(a, [b])),
+                          (b, "2024-01-01 00:00:01", _page(b, [a]))]),
+        epoch_id=0,
+    )
+    g = ing.snapshot_graph(num_partitions=2)
+    ing.process_batch(
+        _mk_pages(spark, [(a, "2024-01-02 00:00:00", _page(a, []))]), epoch_id=1
+    )
+    # old state dir is gone; the snapshot must still answer
+    assert g.edges.count() == 2
+    assert ing.snapshot_graph(num_partitions=2).edges.count() == 1  # b->a only
