@@ -220,6 +220,18 @@ def q_pagerank5(spark, sf_dir):
     )
 
 
+def q_pagerank3_weighted(spark, sf_dir):
+    """Weighted PageRank (weight = edge multiplicity from duplicate-row
+    summing) — covers the w/out_weight_total transition path the
+    unweighted oracle cannot see."""
+    g = _graph_a(spark, sf_dir)
+    pr = pagerank(g, alpha=0.85, tol=0.0, max_iterations=3, weight="weight")
+    return (
+        pr.join(_labels(g), "vid")
+        .select(F.col("node").cast("long"), F.round("rank", 9).alias("rank"))
+    )
+
+
 def q_connected_components(spark, sf_dir):
     g = _graph_a(spark, sf_dir)
     comps = connected_components(g)
@@ -852,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex": q_triangles_per_vertex,
         "squares": q_squares,
         "pagerank5": q_pagerank5,
+        "pagerank3_weighted": q_pagerank3_weighted,
         "connected_components": q_connected_components,
         "component_sizes": q_component_sizes,
         "lpa4": q_lpa4,
@@ -1241,6 +1254,34 @@ FROM media m JOIN agg a ON m.media_id = a.media_id
 """
 
 
+def _unrolled_pagerank_weighted(iters: int) -> str:
+    """Weighted power iterations: transition probability w/out_weight_total,
+    weights = duplicate-row multiplicities (graph A build semantics)."""
+    parts = ["""WITH we AS MATERIALIZED (
+  SELECT l_partkey AS u, 100000 + l_suppkey AS v, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+wsym AS MATERIALIZED (SELECT u, v, w FROM we UNION ALL SELECT v AS u, u AS v, w FROM we),
+verts AS MATERIALIZED (SELECT DISTINCT u AS node FROM wsym),
+nn AS (SELECT COUNT(*) AS n FROM verts),
+outw AS MATERIALIZED (SELECT u, SUM(w) AS ow FROM wsym GROUP BY u),
+pr0 AS MATERIALIZED (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM verts)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+c{i} AS MATERIALIZED (
+  SELECT s.v AS node, SUM((s.w / o.ow) * p.rank) AS c
+  FROM wsym s JOIN pr{i-1} p ON s.u = p.node JOIN outw o ON s.u = o.u
+  GROUP BY s.v
+),
+pr{i} AS MATERIALIZED (
+  SELECT v.node,
+         0.15/(SELECT n FROM nn) + 0.85 * COALESCE(c.c, 0) AS rank
+  FROM verts v LEFT JOIN c{i} c ON v.node = c.node
+)""")
+    parts.append(f"\nSELECT node, ROUND(rank, 9) AS rank FROM pr{iters}")
+    return "".join(parts)
+
+
 def _unrolled_pagerank(iters: int) -> str:
     parts = [f"WITH {_A_EDGES}, pr0 AS MATERIALIZED (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM verts)"]
     for i in range(1, iters + 1):
@@ -1471,6 +1512,7 @@ wed AS (
 SELECT CAST(COALESCE(SUM(c * (c - 1)), 0) / 4 AS BIGINT) AS squares FROM wed
 """,
         "pagerank5": _unrolled_pagerank(5),
+        "pagerank3_weighted": _unrolled_pagerank_weighted(3),
         "connected_components": _unrolled_cc(12),
         "component_sizes": _unrolled_cc(12).replace(
             "SELECT node, comp AS component FROM cc12",
