@@ -501,6 +501,19 @@ def q_mono_3cycle(spark, sf_dir):
     return spark.createDataFrame([(emb.count(),)], "n_embeddings long")
 
 
+def q_gopher_flags(spark, sf_dir):
+    """Gopher-style shape/repetition filter flags (public Rae et al. 2021
+    rules) per document — the pre-dedup keep/drop gates of the 100 TB text
+    pipeline; oracle recomputes every flag in SQL."""
+    from arkouda_njit_spark.functions import gopher_quality_flags
+
+    return gopher_quality_flags(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"),
+        "flag_word_count", "flag_mean_word", "flag_symbol_ratio",
+        "flag_bullet_lines", "flag_alpha_words", "gopher_keep",
+    )
+
+
 def q_host_graph(spark, sf_dir):
     """Host-level webgraph rollup (the Common-Crawl host-webgraph view):
     url→url links aggregated to host→host weights. Oracle replays the
@@ -883,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "events_top_users": q_events_top_users,
         "mono_3cycle": q_mono_3cycle,
+        "gopher_flags": q_gopher_flags,
         "host_graph": q_host_graph,
         "bpe_tokens": q_bpe_tokens,
         "url_canonicalize": q_url_canonicalize,
@@ -1628,6 +1642,44 @@ WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5
             n_pages=500, links_per_page=8, seed=42, iters=20, topk=25
         ),
         "media_features": _media_features_sql(n=120, seed=42, dim=16),
+        "gopher_flags": f"""
+WITH {_DOCS},
+m AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS t,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         len(regexp_split_to_array(text, '\\.\\.\\.')) - 1 AS n_ellipsis,
+         regexp_split_to_array(text, '\\n') AS lines
+  FROM docs
+),
+f AS (
+  SELECT doc_id,
+         len(t) AS nw,
+         CASE WHEN len(t) > 0
+              THEN list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t)
+              ELSE 0.0 END AS mw,
+         CASE WHEN len(t) > 0 THEN (n_hash + n_ellipsis) * 1.0 / len(t)
+              ELSE 0.0 END AS sym,
+         CASE WHEN len(lines) > 0
+              THEN len(list_filter(lines, ln -> regexp_matches(trim(ln), '^[-*•]')))
+                   * 1.0 / len(lines)
+              ELSE 0.0 END AS bul,
+         CASE WHEN len(t) > 0
+              THEN len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+                   * 1.0 / len(t)
+              ELSE 0.0 END AS alw
+  FROM m
+)
+SELECT doc_id,
+       (nw >= 50 AND nw <= 100000) AS flag_word_count,
+       (mw >= 3 AND mw <= 10) AS flag_mean_word,
+       (sym <= 0.1) AS flag_symbol_ratio,
+       (bul < 0.9) AS flag_bullet_lines,
+       (alw >= 0.8) AS flag_alpha_words,
+       ((nw >= 50 AND nw <= 100000) AND (mw >= 3 AND mw <= 10)
+        AND (sym <= 0.1) AND (bul < 0.9) AND (alw >= 0.8)) AS gopher_keep
+FROM f
+""",
         "host_graph": _host_graph_sql(n_pages=500, links_per_page=8, seed=42),
         "simhash": f"""
 WITH {_DOCS},

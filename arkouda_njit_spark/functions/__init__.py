@@ -26,6 +26,7 @@ from .strings import longest_common_substring, suffix_array
 from .text import (
     bpe_ish_token_count,
     fingerprint,
+    gopher_quality_flags,
     language_id,
     quality_score,
     token_count,
@@ -50,6 +51,7 @@ __all__ = [
     "language_id",
     "quality_score",
     "fingerprint",
+    "gopher_quality_flags",
     "clean_corpus",
     "corpus_stats",
     "suffix_array",

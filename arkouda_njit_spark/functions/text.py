@@ -83,6 +83,56 @@ def quality_score(df: DataFrame, col: str = "text", out: str = "quality") -> Dat
     return df.withColumn(out, score)
 
 
+def gopher_quality_flags(df: DataFrame, col: str = "text") -> DataFrame:
+    """Gopher-style repetition/shape filters (Rae et al. 2021, public
+    rules) as pure column expressions — the per-document flags a 100 TB
+    corpus computes before dedup. Adds five boolean columns plus the
+    combined keep flag:
+
+      * ``flag_word_count``   — 50 <= words <= 100,000
+      * ``flag_mean_word``    — 3 <= mean word length <= 10
+      * ``flag_symbol_ratio`` — (# of '#' + ellipsis occurrences) / words <= 0.1
+      * ``flag_bullet_lines`` — < 90% of lines start with a bullet
+      * ``flag_alpha_words``  — >= 80% of words contain a letter
+      * ``gopher_keep``       — all of the above
+    """
+    c = F.col(col)
+    toks = tokens(col)
+    n_words = F.size(toks)
+    n_chars_in_words = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    mean_word = F.when(n_words > 0, n_chars_in_words / n_words).otherwise(F.lit(0.0))
+    n_hash = F.length(c) - F.length(F.regexp_replace(c, r"#", ""))
+    n_ellipsis = F.size(F.split(c, r"\.\.\.", -1)) - 1
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ellipsis) / n_words
+    ).otherwise(F.lit(0.0))
+    lines = F.split(c, r"\n", -1)
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]"))
+    )
+    bullet_ratio = F.when(n_lines > 0, bullet_lines / n_lines).otherwise(F.lit(0.0))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_ratio = F.when(n_words > 0, alpha_words / n_words).otherwise(F.lit(0.0))
+    out = (
+        df.withColumn("flag_word_count", (n_words >= 50) & (n_words <= 100000))
+        .withColumn("flag_mean_word", (mean_word >= 3) & (mean_word <= 10))
+        .withColumn("flag_symbol_ratio", symbol_ratio <= 0.1)
+        .withColumn("flag_bullet_lines", bullet_ratio < 0.9)
+        .withColumn("flag_alpha_words", alpha_ratio >= 0.8)
+    )
+    return out.withColumn(
+        "gopher_keep",
+        F.col("flag_word_count")
+        & F.col("flag_mean_word")
+        & F.col("flag_symbol_ratio")
+        & F.col("flag_bullet_lines")
+        & F.col("flag_alpha_words"),
+    )
+
+
 def shingles(col: str | Column, n: int = 3) -> Column:
     """Word n-gram shingles as strings (empty for docs shorter than n)."""
     t = tokens(col)

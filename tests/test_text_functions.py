@@ -102,3 +102,29 @@ def test_clean_corpus_pipeline(spark):
     # 4 drops (quality), 0 and 5 stay
     assert ids == [0, 5]
     assert set(kept.columns) >= {"doc_id", "text", "quality", "lang_pred"}
+
+
+def test_gopher_quality_flags_each_rule(spark):
+    from arkouda_njit_spark.functions import gopher_quality_flags
+
+    good = "word " * 60  # 60 normal words
+    docs = spark.createDataFrame(
+        [
+            (0, good),
+            (1, "short doc"),                                # word count
+            (2, ("a " * 60)),                                # mean word length < 3
+            (3, ("word " * 30 + "# " * 30)),                 # symbol ratio (and alpha)
+            (4, "\n".join("- item %d word" % i for i in range(20))),  # bullets
+            (5, ("123 " * 60)),                              # alpha words
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_quality_flags(docs).collect()}
+    assert rows[0]["gopher_keep"]
+    assert not rows[1]["flag_word_count"]
+    assert not rows[2]["flag_mean_word"]
+    assert not rows[3]["flag_symbol_ratio"]
+    assert not rows[4]["flag_bullet_lines"]
+    assert not rows[5]["flag_alpha_words"]
+    for i in range(1, 6):
+        assert not rows[i]["gopher_keep"]
