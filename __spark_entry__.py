@@ -904,6 +904,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard": q_jaccard,
         "clean_corpus": q_clean_corpus,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
+        # registered right after its exact twin (NOT last): the round-2
+        # driver snapshot recorded exactly the first 50 registry entries,
+        # so position here is load-bearing for getting a CORRECTNESS row
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "edge_support": q_edge_support,
         "ktruss5": q_ktruss5,
         "diameter_path": q_diameter_path,
@@ -914,13 +918,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_edges": q_filter_edges,
         "subgraph_view": q_subgraph_view,
         "triangles_subset": q_triangles_subset,
-        # no-oracle (rows-only) entries:
+        # rows-only in round 1, oracled since round 2:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "media_features": q_media_features,
         "web_pagerank": q_web_pagerank,
-        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
     }
 
 

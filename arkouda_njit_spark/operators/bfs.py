@@ -68,3 +68,43 @@ def bfs_layers(graph: Graph, source: int, source_is_label: bool = True) -> DataF
     return graph.vertices.join(visited, "vid", "left").select(
         "vid", F.coalesce("depth", F.lit(-1)).alias("depth")
     )
+
+
+def multi_source_bfs(edges: DataFrame, sources: DataFrame) -> DataFrame:
+    """Level-synchronous BFS from many roots AT ONCE: one loop, all roots.
+
+    ``sources`` is (root long, vid long); returns (root, vid, depth) for every
+    vertex reached from its root. The frontier is keyed by (root, vid), so a
+    single per-level join covers every root's frontier simultaneously — the
+    loop runs max-eccentricity levels total instead of once per root
+    (reference runs one BFS per component sequentially,
+    Diameter.chpl:143-186; this is the scale shape that replaces it).
+    Reachability is per-root: roots in different components never mix because
+    expansion follows edges only.
+    """
+    visited = sources.select("root", "vid", F.lit(0).alias("depth")).localCheckpoint(
+        eager=True
+    )
+    frontier = visited.select("root", "vid")
+    depth = 0
+    prev = None
+    while True:
+        depth += 1
+        nxt = (
+            edges.join(frontier.withColumnRenamed("vid", "src"), "src")
+            .select("root", F.col("dst").alias("vid"))
+            .distinct()
+            .join(visited, ["root", "vid"], "left_anti")
+            .withColumn("depth", F.lit(depth))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        new_visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        visited.unpersist()
+        if prev is not None:
+            prev.unpersist()
+        prev = nxt
+        visited = new_visited
+        frontier = nxt.select("root", "vid")
+    return visited

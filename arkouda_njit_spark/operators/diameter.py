@@ -29,7 +29,7 @@ from collections import deque
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from .bfs import bfs_layers
+from .bfs import multi_source_bfs
 from .connected_components import connected_components
 
 
@@ -100,25 +100,43 @@ def diameter(graph: Graph, exact: bool = False, bfs_threshold: int = 2500) -> in
         )
     best = int(small_best) if small_best is not None else 0
 
-    big = sizes.filter(F.col("size") > bfs_threshold).collect()
-    if exact and big:
-        import warnings
+    # big components: ONE multi-source double sweep covering all of them at
+    # once (frontier keyed by (component, vid)) — the reference loops over
+    # components sequentially (Diameter.chpl:143-186); a component whose size
+    # <= best cannot beat best (diameter < size), so the reference's
+    # skip-small pruning (lines 143-146) is subsumed by the size filter
+    big_ids = sizes.filter(
+        (F.col("size") > bfs_threshold) & (F.col("size") > max(2, best))
+    )
+    if not big_ids.isEmpty():
+        if exact:
+            import warnings
 
-        warnings.warn(
-            "diameter(exact=True): components larger than bfs_threshold use "
-            "the double-sweep LOWER BOUND, not exact eccentricity — raise "
-            "bfs_threshold to force the exact per-component pass"
+            warnings.warn(
+                "diameter(exact=True): components larger than bfs_threshold "
+                "use the double-sweep LOWER BOUND, not exact eccentricity — "
+                "raise bfs_threshold to force the exact per-component pass"
+            )
+        big_vids = comps.join(big_ids, "component", "left_semi")
+        big_edges = (
+            graph.edges.select("src", "dst")
+            .join(big_vids.withColumnRenamed("vid", "src").select("src"), "src", "left_semi")
+            .localCheckpoint(eager=True)
         )
-    for row in sorted(big, key=lambda r: -r["size"]):
-        comp, size = row["component"], row["size"]
-        if size <= max(2, best):
-            continue  # Diameter.chpl:143-146
-        # double sweep: BFS from the component label vertex, then from the
-        # farthest vertex found
-        d1 = bfs_layers(graph, comp, source_is_label=False)
-        far = d1.orderBy(F.desc("depth"), "vid").limit(1).collect()[0]
-        d2 = bfs_layers(graph, far["vid"], source_is_label=False)
-        d = d2.agg(F.max("depth")).collect()[0][0]
-        best = max(best, d)
+        # sweep 1: from each component's label vertex (the label IS a member
+        # vid under hash-min); farthest vertex per component, smallest-vid
+        # tie-break matches the old orderBy(desc(depth), vid).limit(1)
+        roots1 = big_ids.select(
+            F.col("component").alias("root"), F.col("component").alias("vid")
+        )
+        d1 = multi_source_bfs(big_edges, roots1)
+        far = d1.groupBy("root").agg(
+            F.expr("max_by(vid, struct(depth, -vid))").alias("vid")
+        )
+        # sweep 2: from each farthest vertex; component diameter lower bound
+        d2 = multi_source_bfs(big_edges, far)
+        big_best = d2.agg(F.max("depth")).collect()[0][0]
+        big_edges.unpersist()
+        best = max(best, int(big_best) if big_best is not None else 0)
     comps.unpersist()
     return best

@@ -91,6 +91,37 @@ def test_diameter_golden(spark):
     assert diameter(graph, exact=True) == 6  # the 7-vertex path's true diameter
 
 
+def test_diameter_big_components_one_loop(spark):
+    """Four over-threshold path components are double-swept in ONE
+    multi-source loop: job count scales with the max diameter, not the sum
+    over components (the sequential per-component loop would run ~4x the
+    jobs here)."""
+    src, dst = [], []
+    sizes = [30, 30, 28, 26]
+    base = 0
+    for n in sizes:
+        for i in range(n - 1):
+            src.append(base + i)
+            dst.append(base + i + 1)
+        base += 100
+    graph = Graph.from_edges(spark, src, dst)
+    sc = spark.sparkContext
+    sc.setJobGroup("diam-multi", "diameter big-component sweep")
+    try:
+        # BFS-branch convention: big components contribute the double-sweep
+        # depth itself (no -1 — that's the matrix branch's convention)
+        assert diameter(graph, bfs_threshold=5) == 29
+    finally:
+        sc.setJobGroup("", "")
+    jobs = len(sc.statusTracker().getJobIdsForGroup("diam-multi"))
+    # The count includes connected_components' own hash-min loop (~30
+    # iterations on a 30-path) — measured ~490 total with the ONE
+    # multi-source double sweep (~60 levels x ~3 jobs). A sequential
+    # per-component double sweep is ~sum(2*diam_i) = 220 levels -> ~660
+    # sweep jobs alone, >950 total. 550 cleanly separates the two shapes.
+    assert jobs < 550, f"diameter ran {jobs} jobs — big-component loop serialized?"
+
+
 def test_bfs_layers_undirected(spark):
     graph = Graph.from_edges(spark, ALGO28_SRC, ALGO28_DST)
     nxg = nx_graph(ALGO28_SRC, ALGO28_DST)
