@@ -319,6 +319,44 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+def _clean_ascii(col, n):
+    """Lowercase a-z+space prefix of length n — identical semantics in Spark
+    and DuckDB regex engines (no lookarounds; RE2-safe)."""
+    return F.substring(F.regexp_replace(F.lower(col), "[^a-z ]", ""), 1, n)
+
+
+def q_suffix_array(spark, sf_dir):
+    """Per-document suffix arrays (dev-tree SuffixArrayMsg.chpl parity) over
+    a 25-doc sample, strings sanitized to 48 ASCII chars so Python codepoint
+    order == DuckDB byte order."""
+    from arkouda_njit_spark.functions import suffix_array
+
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 20 == 0)
+        .select(F.col("doc_id").cast("long"), _clean_ascii(F.col("text"), 48).alias("s"))
+    )
+    return suffix_array(docs, col="s").select("doc_id", "suffix_array")
+
+
+def q_lcs(spark, sf_dir):
+    """Longest common substring between doc d and doc d+10 (LCSMsg.chpl
+    parity), 32-char sanitized strings, 25 pairs."""
+    from arkouda_njit_spark.functions import longest_common_substring
+
+    docs = _docs(spark, sf_dir)
+    a = docs.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").cast("long"), _clean_ascii(F.col("text"), 32).alias("a")
+    )
+    b = docs.filter(F.col("doc_id") % 20 == 10).select(
+        (F.col("doc_id").cast("long") - 10).alias("doc_id"),
+        _clean_ascii(F.col("text"), 32).alias("b"),
+    )
+    return longest_common_substring(a.join(b, "doc_id"), "a", "b").select(
+        "doc_id", "lcs"
+    )
+
+
 def q_minhash_sigs(spark, sf_dir):
     return minhash_signatures(
         _docs(spark, sf_dir), num_hashes=4, shingle_n=1
@@ -888,6 +926,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "exact_dups": q_exact_dups,
         "fingerprint": q_fingerprint,
+        "suffix_array": q_suffix_array,
+        "lcs": q_lcs,
         "minhash_sigs": q_minhash_sigs,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
@@ -1605,6 +1645,42 @@ FROM docs GROUP BY md5(text) HAVING COUNT(*) >= 2
         "fingerprint": f"""
 WITH {_SHINGLES}
 SELECT doc_id, MIN(md5(s)) AS fingerprint FROM sh GROUP BY doc_id
+""",
+        "suffix_array": f"""
+WITH {_DOCS},
+base AS MATERIALIZED (
+  SELECT doc_id, substr(regexp_replace(lower(text), '[^a-z ]', '', 'g'), 1, 48) AS s
+  FROM docs WHERE doc_id % 20 = 0
+)
+SELECT doc_id,
+       list_transform(
+         list_sort(list_transform(generate_series(1, length(s)),
+                                  i -> {{'suf': s[i:], 'i': i}})),
+         x -> CAST(x.i - 1 AS INT)) AS suffix_array
+FROM base
+""",
+        "lcs": f"""
+WITH {_DOCS},
+pa AS MATERIALIZED (
+  SELECT doc_id, substr(regexp_replace(lower(text), '[^a-z ]', '', 'g'), 1, 32) AS a
+  FROM docs WHERE doc_id % 20 = 0
+),
+pb AS MATERIALIZED (
+  SELECT doc_id - 10 AS doc_id,
+         substr(regexp_replace(lower(text), '[^a-z ]', '', 'g'), 1, 32) AS b
+  FROM docs WHERE doc_id % 20 = 10
+)
+-- candidates sorted by (length DESC, end ASC): first element reproduces the
+-- rolling-DP scan-order tie-break (earliest maximal occurrence in a)
+SELECT pa.doc_id,
+       coalesce(
+         list_sort(
+           list_filter(
+             flatten(list_transform(generate_series(1, length(a)), i ->
+               list_transform(generate_series(i, length(a)), j ->
+                 {{'negl': i - j - 1, 'e': j, 'sub': a[i:j]}}))),
+             x -> contains(b, x.sub)))[1].sub, '') AS lcs
+FROM pa JOIN pb USING (doc_id)
 """,
         "minhash_sigs": f"""
 WITH {_DOCS},

@@ -8,6 +8,9 @@ from .dedup import (
     simhash_near_duplicates,
 )
 from .multimodal import (
+    bmp_decode,
+    bmp_encode,
+    bmp_resize_nearest,
     extract_features,
     generate_media,
     resize_images,
@@ -60,4 +63,7 @@ __all__ = [
     "resize_images",
     "sample_frames",
     "generate_media",
+    "bmp_decode",
+    "bmp_encode",
+    "bmp_resize_nearest",
 ]

@@ -1,11 +1,16 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real (schema, partition-aware batch processing,
-Arrow batch shapes); the codec calls are STUBBED because no image/audio
-library ships in this container. ``decode="fake"`` substitutes a
-deterministic, content-derived feature vector so the distributed pipeline
-is testable end-to-end; ``decode="real"`` raises NotImplementedError at the
-exact call site where PIL/ffmpeg would plug in.
+Arrow batch shapes). Codec status per path:
+
+* ``decode="bmp"`` — a REAL, pure-numpy codec for uncompressed 24-bit
+  BI_RGB Windows bitmaps (encode + decode + nearest-neighbour resize), no
+  external library needed. This is the one format this jar-less container
+  can decode for real; it exercises the full decode→pixels→re-encode path.
+* ``decode="fake"`` — deterministic content-derived stand-in so the
+  distributed pipeline is testable end-to-end on arbitrary bytes.
+* ``decode="real"`` — raises NotImplementedError at the exact call site
+  where PIL/soundfile/pyav would plug in (not shipped here).
 
 Schema convention:
 
@@ -28,6 +33,77 @@ from pyspark.sql import functions as F
 MEDIA_SCHEMA = "media_id long, kind string, data binary, meta map<string,string>"
 
 FEATURE_SCHEMA = "media_id long, kind string, n_bytes int, feature array<float>"
+
+
+# ---------------------------------------------------------------------------
+# pure-numpy BMP codec (24-bit uncompressed BI_RGB, bottom-up rows)
+# ---------------------------------------------------------------------------
+
+
+def bmp_encode(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit BI_RGB .bmp."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("bmp_encode expects an (h, w, 3) uint8 array")
+    h, w, _ = pixels.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    stride = row_bytes + pad
+    img_size = stride * h
+    # pixel rows are stored bottom-up, channels as BGR
+    bgr = pixels[::-1, :, ::-1]
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :row_bytes] = bgr.reshape(h, row_bytes)
+    import struct
+
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    return header + info + rows.tobytes()
+
+
+def bmp_decode(data: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BI_RGB .bmp to an (h, w, 3) uint8 RGB
+    array. Handles bottom-up (height > 0) and top-down (height < 0) rows."""
+    import struct
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    pixel_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", data, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", data, 26)
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP variant (header={hdr_size}, bpp={bpp}, "
+            f"compression={compression}); only 24-bit BI_RGB is implemented"
+        )
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    raw = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=pixel_off)
+    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def bmp_resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbour resize of an (h, w, 3) array (pixel-center sampling)."""
+    h, w, _ = pixels.shape
+    ys = np.minimum(((np.arange(height) + 0.5) * h / height).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(width) + 0.5) * w / width).astype(np.int64), w - 1)
+    return pixels[ys][:, xs]
+
+
+def _bmp_feature(data: bytes, dim: int) -> np.ndarray:
+    """REAL image feature from decoded BMP pixels: grayscale mean-pooled
+    over a grid folded to ``dim`` cells, L2-normalized."""
+    px = bmp_decode(data).astype("float64")
+    gray = px.mean(axis=2).ravel()
+    cells = np.arange(gray.size) % dim
+    folded = np.bincount(cells, weights=gray, minlength=dim)[:dim]
+    counts = np.bincount(cells, minlength=dim)[:dim]
+    folded = (folded / np.maximum(counts, 1)).astype("float32")
+    norm = np.linalg.norm(folded)
+    return folded / norm if norm > 0 else folded
 
 
 def _fake_feature(data: bytes, dim: int) -> np.ndarray:
@@ -57,12 +133,18 @@ def extract_features(
             if decode == "real":
                 raise NotImplementedError(
                     "real media decode requires PIL/soundfile/pyav, not present; "
-                    "use decode='fake' for the deterministic test path"
+                    "use decode='bmp' (pure-numpy 24-bit BMP) or decode='fake'"
                 )
-            feats = [
-                _fake_feature(bytes(b) if b is not None else b"", dim).tolist()
-                for b in pdf["data"]
-            ]
+            if decode == "bmp":
+                feats = [
+                    _bmp_feature(bytes(b) if b is not None else b"", dim).tolist()
+                    for b in pdf["data"]
+                ]
+            else:
+                feats = [
+                    _fake_feature(bytes(b) if b is not None else b"", dim).tolist()
+                    for b in pdf["data"]
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -79,20 +161,30 @@ RESIZE_SCHEMA = "media_id long, kind string, data binary, meta map<string,string
 
 
 def resize_images(media: DataFrame, width: int, height: int, decode: str = "fake") -> DataFrame:
-    """Image resize stub: fake path passes bytes through and records the
-    target size in meta (plumbing + schema real; pixel work stubbed)."""
+    """Image resize. ``decode="bmp"`` is the REAL path: decode 24-bit BMP
+    bytes, nearest-neighbour resample, re-encode BMP — all numpy inside the
+    Arrow batch. ``decode="fake"`` passes bytes through and only records the
+    target size in meta (for non-BMP payloads)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decode == "real":
-                raise NotImplementedError("real resize requires PIL; use decode='fake'")
-            metas = []
-            for m in pdf["meta"]:
+                raise NotImplementedError(
+                    "real resize of compressed formats requires PIL; "
+                    "use decode='bmp' for uncompressed bitmaps"
+                )
+            metas, datas = [], []
+            for m, b in zip(pdf["meta"], pdf["data"]):
                 m = dict(m) if m is not None else {}
                 m["resized_to"] = f"{width}x{height}"
+                if decode == "bmp":
+                    px = bmp_resize_nearest(bmp_decode(bytes(b)), width, height)
+                    b = bmp_encode(px)
                 metas.append(m)
+                datas.append(b)
             out = pdf.copy()
             out["meta"] = metas
+            out["data"] = datas
             yield out
 
     return media.filter(F.col("kind") == "image").mapInPandas(run, schema=RESIZE_SCHEMA)

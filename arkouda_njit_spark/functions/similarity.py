@@ -19,6 +19,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# hard cap on driver-resident IVF centroid cells (nlist * dim); 64M doubles
+# ~= 512 MB — beyond this ivf_build refuses instead of assuming it fits
+MAX_CENTROID_CELLS = 64_000_000
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -160,7 +165,16 @@ def ivf_build(
     (posexplode → groupBy(list, pos) avg) and re-normalizes (spherical).
     Returns (corpus tagged with ``list_id``, centroids (list_id, cvec)).
     Centroids are nlist×dim — driver-resident by design (a 4096×1024
-    table is 16 MB); the corpus is only ever scanned/aggregated."""
+    table is 16 MB); the corpus is only ever scanned/aggregated. That
+    contract is ENFORCED: ``nlist * dim`` above ``MAX_CENTROID_CELLS``
+    (64M doubles = 512 MB) raises rather than silently collecting a
+    centroid table that would OOM the driver."""
+    if nlist * dim > MAX_CENTROID_CELLS:
+        raise ValueError(
+            f"ivf_build: nlist*dim = {nlist}*{dim} = {nlist * dim:,} exceeds "
+            f"MAX_CENTROID_CELLS ({MAX_CENTROID_CELLS:,}; ~512 MB of driver-"
+            f"resident centroids). Reduce nlist or use a coarser quantizer."
+        )
     spark = corpus.sparkSession
     nv = with_normalized(corpus, vec_col).select(F.col(id_col), "nvec").persist()
 

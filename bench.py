@@ -30,6 +30,35 @@ PR_ITERS = 10
 REPEAT = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1"))
 
 
+def warm_up(spark):
+    """Untimed JVM warm-up before the timed region: exercises the parquet
+    reader, whole-stage codegen, hash aggregation, broadcast + shuffle joins,
+    sortWithinPartitions and the Arrow mapInPandas path on a ~20k-row slice,
+    so the first timed query measures the kernel rather than JIT/classloading
+    (~8-13s of one-time JVM cost otherwise lands in graph_build; see
+    BASELINE.md). The timed protocol below is unchanged."""
+    from pyspark.sql import functions as F
+
+    from arkouda_njit_spark import Graph
+    from arkouda_njit_spark.operators import pagerank
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(20000)
+    g = Graph.from_edges(
+        spark,
+        li.select(
+            F.pmod(F.col("l_orderkey"), F.lit(997)).alias("src"),
+            F.pmod(F.col("l_partkey"), F.lit(997)).alias("dst"),
+            F.lit(1.0).alias("weight"),
+        ).filter(F.col("src") != F.col("dst")),
+    )
+    pagerank(g, tol=0.0, max_iterations=2).count()
+    g.edges.unpersist()
+    g.vertices.unpersist()
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(500).select(
+        F.md5(F.col("text")).alias("h")
+    ).groupBy("h").count().count()
+
+
 def build_graphs(spark):
     from pyspark.sql import functions as F
 
@@ -126,6 +155,7 @@ def main():
 
     spark = get_spark(master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
+    warm_up(spark)
     runs: list[tuple[dict, dict]] = [run_queries(spark) for _ in range(REPEAT)]
     timings = {
         k: statistics.median(t[k] for t, _ in runs) for k in runs[0][0]

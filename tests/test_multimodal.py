@@ -63,3 +63,93 @@ def test_sample_frames_shape(media):
     n_videos = media.filter(F.col("kind") == "video").count()
     assert frames.count() == n_videos * 4  # 64 bytes / 16
     assert frames.groupBy("media_id").count().filter(F.col("count") != 4).count() == 0
+
+
+class TestBmpCodec:
+    """decode='bmp' is a REAL codec: pure-numpy 24-bit BI_RGB."""
+
+    def _image(self, h, w, seed=7):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    def test_round_trip_byte_exact(self):
+        import numpy as np
+
+        from arkouda_njit_spark.functions import bmp_decode, bmp_encode
+
+        for h, w in [(1, 1), (3, 5), (16, 16), (7, 13)]:  # incl. padded rows
+            px = self._image(h, w)
+            data = bmp_encode(px)
+            assert data[:2] == b"BM"
+            back = bmp_decode(data)
+            assert np.array_equal(back, px)
+            # re-encode of the decode is byte-identical (stable codec)
+            assert bmp_encode(back) == data
+
+    def test_decode_rejects_non_bmp(self):
+        import pytest
+
+        from arkouda_njit_spark.functions import bmp_decode
+
+        with pytest.raises(ValueError):
+            bmp_decode(b"not a bitmap at all........................................")
+
+    def test_resize_nearest(self):
+        import numpy as np
+
+        from arkouda_njit_spark.functions import bmp_resize_nearest
+
+        px = self._image(4, 4)
+        up = bmp_resize_nearest(px, 8, 8)
+        assert up.shape == (8, 8, 3)
+        # 2x nearest upsample replicates each pixel into a 2x2 block
+        assert np.array_equal(up[::2, ::2], px)
+        assert np.array_equal(up[1::2, 1::2], px)
+        # identity resize is a no-op
+        assert np.array_equal(bmp_resize_nearest(px, 4, 4), px)
+
+    def test_spark_resize_pipeline(self, spark):
+        import numpy as np
+
+        from arkouda_njit_spark.functions import bmp_decode, bmp_encode, resize_images
+
+        rows = [
+            (i, "image", bytes(bmp_encode(self._image(10, 14, seed=i))), {"k": "v"})
+            for i in range(6)
+        ]
+        media = spark.createDataFrame(
+            rows, "media_id long, kind string, data binary, meta map<string,string>"
+        )
+        out = {
+            r["media_id"]: r
+            for r in resize_images(media, 7, 5, decode="bmp").collect()
+        }
+        assert len(out) == 6
+        for i in range(6):
+            px = bmp_decode(bytes(out[i]["data"]))
+            assert px.shape == (5, 7, 3)
+            assert out[i]["meta"]["resized_to"] == "7x5"
+            # distributed result == local reference resize
+            from arkouda_njit_spark.functions import bmp_resize_nearest
+
+            ref = bmp_resize_nearest(self._image(10, 14, seed=i), 7, 5)
+            assert np.array_equal(px, ref)
+
+    def test_bmp_feature_extraction(self, spark):
+        from arkouda_njit_spark.functions import bmp_encode, extract_features
+
+        rows = [
+            (i, "image", bytes(bmp_encode(self._image(8, 8, seed=i))), None)
+            for i in range(4)
+        ]
+        media = spark.createDataFrame(
+            rows, "media_id long, kind string, data binary, meta map<string,string>"
+        )
+        feats = extract_features(media, dim=8, decode="bmp").collect()
+        assert len(feats) == 4
+        for r in feats:
+            v = r["feature"]
+            assert len(v) == 8
+            assert abs(sum(x * x for x in v) - 1.0) < 1e-5  # L2-normalized

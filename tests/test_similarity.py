@@ -134,3 +134,13 @@ def test_embedding_near_duplicates_self_consistency(spark):
     assert (0, 1) in pairs and (0, 3) in pairs and (1, 3) in pairs
     assert all(v >= 0.99 for v in pairs.values())
     assert not any(2 in p for p in pairs)
+
+
+def test_ivf_centroid_size_contract(spark, emb):
+    """nlist*dim past MAX_CENTROID_CELLS must refuse, not collect-and-OOM."""
+    import pytest as _pytest
+
+    from arkouda_njit_spark.functions import similarity as sim
+
+    with _pytest.raises(ValueError, match="MAX_CENTROID_CELLS"):
+        sim.ivf_build(emb, dim=1_000_000, nlist=100)
