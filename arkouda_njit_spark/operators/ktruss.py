@@ -26,12 +26,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from .triangles import _undirected_simple_edges
+from .triangles import BIG_EDGE_THRESHOLD, _undirected_simple_edges
 
 
-def _support(edges: DataFrame) -> DataFrame:
+def _support(edges: DataFrame, big: bool = False) -> DataFrame:
     """Per-edge triangle support over an (u,v) u<v edge set: for each edge,
-    the number of triangles it participates in."""
+    the number of triangles it participates in.
+
+    ``big=True`` hints shuffle_hash on the wedge self-join and the closing
+    semi-join — same dispatch as ``triangles._triangle_rows_cached``: a
+    BroadcastHashJoin builds its hash relation single-threaded on the
+    driver (measured FLAT 2→8 scaling on RMAT-18) and is impossible at
+    10^12 edges; shuffle_hash builds per-partition maps in parallel."""
     deg = (
         edges.select(F.col("u").alias("vid"))
         .unionAll(edges.select(F.col("v").alias("vid")))
@@ -54,13 +60,14 @@ def _support(edges: DataFrame) -> DataFrame:
         )
         .select("e.lo", "e.hi")
     )
+    sh = (lambda df: df.hint("shuffle_hash")) if big else (lambda df: df)
     w1 = o.select(F.col("lo").alias("p"), F.col("hi").alias("b"))
     w2 = o.select(F.col("lo").alias("p"), F.col("hi").alias("c"))
     tri = (
-        w1.join(w2, "p")
+        w1.join(sh(w2), "p")
         .filter(F.col("b") < F.col("c"))
         .join(
-            edges,
+            sh(edges),
             (F.col("b") == F.col("u")) & (F.col("c") == F.col("v")),
             "left_semi",
         )
@@ -82,6 +89,7 @@ def _truss_edges(
     max_rounds: int = 100,
     checkpoint_dir: str | None = None,
     collect_partition_metrics: bool = False,
+    big: bool = False,
 ) -> DataFrame:
     """Surviving (u,v) edge set of the k-truss (support >= k-2 fixpoint).
 
@@ -93,7 +101,7 @@ def _truss_edges(
     from ..plans.iterate import FixpointLoop
 
     def step(state: DataFrame, i: int) -> DataFrame:
-        return _support(state).filter(F.col("support") >= k - 2).select("u", "v")
+        return _support(state, big=big).filter(F.col("support") >= k - 2).select("u", "v")
 
     def removed(prev: DataFrame, cur: DataFrame) -> float:
         return float(prev.count() - cur.count())
@@ -113,7 +121,8 @@ def _truss_edges(
 def k_truss(graph: Graph, k: int, checkpoint_dir: str | None = None) -> DataFrame:
     """(u, v, value) over canonical u<v edges: -1 survives, k-1 deleted."""
     edges = _undirected_simple_edges(graph)
-    kept = _truss_edges(edges, k, checkpoint_dir=checkpoint_dir)
+    big = graph.n_edges >= BIG_EDGE_THRESHOLD
+    kept = _truss_edges(edges, k, checkpoint_dir=checkpoint_dir, big=big)
     return edges.join(kept.withColumn("_kept", F.lit(1)), ["u", "v"], "left").select(
         "u",
         "v",
@@ -134,14 +143,15 @@ def max_truss(graph: Graph) -> int:
     edges = _undirected_simple_edges(graph).localCheckpoint(eager=True)
     if edges.isEmpty():
         return 0
-    max_sup = _support(edges).agg(F.max("support")).collect()[0][0] or 0
+    big = edges.count() >= BIG_EDGE_THRESHOLD
+    max_sup = _support(edges, big=big).agg(F.max("support")).collect()[0][0] or 0
     if max_sup == 0:
         return 2
     lo, hi = 3, max_sup + 2  # k-truss needs support >= k-2
     best, best_edges = 2, edges
     while lo <= hi:
         mid = (lo + hi) // 2
-        kept = _truss_edges(best_edges, mid)
+        kept = _truss_edges(best_edges, mid, big=big)
         if kept.isEmpty():
             hi = mid - 1
         else:
@@ -154,11 +164,12 @@ def truss_decomposition(graph: Graph) -> DataFrame:
     """(u, v, truss) over canonical u<v edges: max k per edge, min 2."""
     edges = _undirected_simple_edges(graph).localCheckpoint(eager=True)
     spark = edges.sparkSession
+    big = edges.count() >= BIG_EDGE_THRESHOLD
     assigned = None  # (u, v, truss)
     cur = edges
     k = 3
     while not cur.isEmpty():
-        kept = _truss_edges(cur, k)
+        kept = _truss_edges(cur, k, big=big)
         removed = cur.join(kept, ["u", "v"], "left_anti").withColumn(
             "truss", F.lit(k - 1)
         )

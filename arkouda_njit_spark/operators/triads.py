@@ -144,8 +144,18 @@ def triadic_census(graph: Graph) -> DataFrame:
     d12, c12 = dcode("x1", "x2", "p")
     d13, c13 = dcode("x1", "x3", "q")
     d23, c23 = dcode("x2", "x3", "r")
+    # dyad-table joins grow with E: past the threshold dispatch shuffle_hash
+    # (driver-serialized broadcast build measured FLAT 2-to-8 on this kernel;
+    # impossible at web scale anyway) — same rule as triangles/ktruss
+    from .triangles import BIG_EDGE_THRESHOLD
+
+    sh = (
+        (lambda df: df.hint("shuffle_hash"))
+        if graph.n_edges >= BIG_EDGE_THRESHOLD
+        else (lambda df: df)
+    )
     coded = (
-        srt.join(d12, c12).join(d13, c13).join(d23, c23)
+        srt.join(sh(d12), c12).join(sh(d13), c13).join(sh(d23), c23)
         .select(
             "x1", "x2", "x3",
             (

