@@ -660,12 +660,25 @@ def q_clean_corpus(spark, sf_dir):
     )
 
 
+def _emb_with_dups(spark, sf_dir):
+    """embeddings ∪ a vec_id+100000 shifted copy: the synthetic table has no
+    genuinely-near pairs (max pairwise cosine 0.51), so the near-dup queries
+    would hash-match trivially on empty results; the duplicated vectors give
+    the driver check real rows (every (i, i+100000) pair at cosine 1.0)."""
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    return emb.unionAll(dup)
+
+
 def q_embedding_near_dups_exact(spark, sf_dir):
     """Embedding-cosine near-dup pairs, exact (n_planes=0 => single bucket
-    = full pairwise within the subset), cosine >= 0.8 on vec_id < 150."""
+    = full pairwise within the subset), cosine >= 0.8 on vec_id < 150 plus
+    shifted duplicates."""
     from arkouda_njit_spark.functions import embedding_near_duplicates
 
-    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    emb = _emb_with_dups(spark, sf_dir).filter(
+        (F.col("vec_id") % 100000) < 150
+    )
     dim = len(emb.select("embedding").first()[0])
     return embedding_near_duplicates(
         emb, dim=dim, threshold=0.8, n_planes=0
@@ -677,11 +690,12 @@ def q_embedding_near_dups_exact(spark, sf_dir):
 
 
 def q_embedding_near_dups_lsh(spark, sf_dir):
-    """Same semantics through the LSH-bucketed scale path (rows-only check:
-    bucket assignment is engine-specific)."""
+    """Same semantics through the LSH-bucketed scale path; the oracle
+    replays the hyperplane buckets as SQL literals (XXH64 port), so the
+    comparison is hash-exact — duplicated vectors guarantee real pairs."""
     from arkouda_njit_spark.functions import embedding_near_duplicates
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _emb_with_dups(spark, sf_dir)
     dim = len(emb.select("embedding").first()[0])
     return embedding_near_duplicates(emb, dim=dim, threshold=0.9, n_planes=6).select(
         F.col("a").cast("long"),
@@ -1106,7 +1120,10 @@ def _ann_lsh_sql(dim: int, k: int, n_planes: int, n_tables: int, seed: int = 42)
         for t in range(n_tables)
     )
     return f"""
-WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH aug AS (SELECT vec_id, embedding FROM embeddings
+             UNION ALL
+             SELECT vec_id + 100000, embedding FROM embeddings),
+e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM aug),
 b AS MATERIALIZED (
   {table_selects}
 ),
@@ -1136,7 +1153,10 @@ def _embedding_near_dup_lsh_sql(dim: int, threshold: float, n_planes: int, seed:
     self-join, cosine >= threshold."""
     expr = _bucket_expr(_plane_literals(dim, n_planes, seed))
     return f"""
-WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH aug AS (SELECT vec_id, embedding FROM embeddings
+             UNION ALL
+             SELECT vec_id + 100000, embedding FROM embeddings),
+e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM aug),
 b AS MATERIALIZED (
   SELECT vec_id, v,
        {expr} AS bucket
@@ -1938,8 +1958,11 @@ kept AS (
 SELECT doc_id, ROUND(quality, 6) AS quality, lang_pred FROM kept WHERE rn = 1
 """,
         "embedding_near_dups_exact": """
-WITH sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-             FROM embeddings WHERE vec_id < 150)
+WITH aug AS (SELECT vec_id, embedding FROM embeddings
+             UNION ALL
+             SELECT vec_id + 100000, embedding FROM embeddings),
+sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+             FROM aug WHERE vec_id % 100000 < 150)
 SELECT l.vec_id AS a, r.vec_id AS b,
        ROUND(list_cosine_similarity(l.e, r.e), 6) AS cosine
 FROM sub l JOIN sub r ON l.vec_id < r.vec_id

@@ -13,10 +13,13 @@ connected components first, then per component (size > max(2, best-so-far)):
     branch ((I+A)^2 already has no zero entry) and contribute nothing.
 
 We replicate: per component, contribute ``true_diameter - 1`` when
-true_diameter >= 3 (diameter-<=2 components are skipped). Small components are collected to the driver and measured with
-pure-python BFS — the reference's dense matPow is likewise a single-node
-computation; large components (> ``bfs_threshold``) use a distributed
-double sweep (lower bound, like the reference's BFS branch).
+true_diameter >= 3 (diameter-<=2 components are skipped). Small components
+are measured in ONE grouped-map pass (``applyInPandas`` all-sources BFS,
+parallel across components — the reference's dense matPow is likewise a
+per-component single-node kernel); large components (> ``bfs_threshold``)
+get ONE multi-source distributed double sweep covering all of them at once
+(lower bound, like the reference's BFS branch, but not serialized per
+component — round 3).
 
 ``diameter(graph, exact=True)`` is also offered: the mathematically correct
 max eccentricity, for users who want the real thing.
