@@ -82,6 +82,25 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def q_degree_sort(spark, sf_dir):
+    """Legacy DegreeSortFlag relabel on graph A: new vids ascend by
+    (degree, label) — dev-tree graph_file_read's degree-sorted remap
+    (GraphMsg.chpl segGraphFileMsg), Spark-first as one composite dense
+    rank + two remap joins (sources/files.py:degree_sort_relabel)."""
+    from arkouda_njit_spark.sources import degree_sort_relabel
+
+    g = degree_sort_relabel(_graph_a(spark, sf_dir))
+    return (
+        g.degree()
+        .join(g.vertices, "vid")
+        .select(
+            F.col("vid").cast("long"),
+            F.col("label").cast("long"),
+            F.col("degree").cast("long"),
+        )
+    )
+
+
 def _graph_a(spark: SparkSession, sf_dir: str) -> Graph:
     key = ("a", sf_dir)
     if key not in _CACHE:
@@ -971,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc_split": q_wcc_split,
         "filter_edges": q_filter_edges,
         "subgraph_view": q_subgraph_view,
+        "degree_sort": q_degree_sort,
         "triangles_subset": q_triangles_subset,
         # rows-only in round 1, oracled since round 2:
         "minhash_near_dups": q_minhash_near_dups,
@@ -1120,10 +1140,7 @@ def _ann_lsh_sql(dim: int, k: int, n_planes: int, n_tables: int, seed: int = 42)
         for t in range(n_tables)
     )
     return f"""
-WITH aug AS (SELECT vec_id, embedding FROM embeddings
-             UNION ALL
-             SELECT vec_id + 100000, embedding FROM embeddings),
-e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM aug),
+WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 b AS MATERIALIZED (
   {table_selects}
 ),
@@ -1542,6 +1559,12 @@ FROM lineitem GROUP BY 1, 2
         "degree": f"""
 WITH {_A_EDGES}
 SELECT node, deg AS degree FROM deg
+""",
+        "degree_sort": f"""
+WITH {_A_EDGES}
+SELECT ROW_NUMBER() OVER (ORDER BY deg, node) - 1 AS vid,
+       node AS label, deg AS degree
+FROM deg
 """,
         "out_degree": """
 WITH e AS (SELECT DISTINCT l_partkey AS u, 100000 + l_suppkey AS v FROM lineitem),

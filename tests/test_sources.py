@@ -161,3 +161,96 @@ def test_extract_links_null_html(spark):
     assert [(r["url"], r["href"]) for r in rows] == [
         ("http://a.example/p", "http://b.example/q")
     ]
+
+
+class TestLegacyGraphFile:
+    """dev-tree graph_file_read / ToNDE writer / DegreeSort / RCM parity
+    (client graph.py:1379-1421, GraphMsg.chpl:2320+)."""
+
+    def _write(self, tmp_path, lines, name="g.nde"):
+        p = tmp_path / name
+        p.write_text("\n".join(lines) + "\n")
+        return str(p)
+
+    def test_read_plain_and_weighted(self, spark, tmp_path):
+        from arkouda_njit_spark.sources import read_graph_file
+
+        p = self._write(tmp_path, ["1 5", "13 9", "7 6"])
+        g = read_graph_file(spark, p)
+        assert g.n_vertices == 6 and g.n_edges == 3 and not g.weighted
+        pw = self._write(tmp_path, ["0 1 2.5", "1 2 0.5"], "w.nde")
+        gw = read_graph_file(spark, pw)
+        assert gw.weighted
+        w = {(r["src_label"], r["dst_label"]): r["weight"]
+             for r in gw.edge_list().collect()}
+        assert w[(0, 1)] == 2.5 and w[(1, 2)] == 0.5
+
+    def test_write_read_round_trip(self, spark, tmp_path):
+        from arkouda_njit_spark.sources import read_graph_file, write_graph_file
+
+        p = self._write(tmp_path, ["1 5", "13 9", "7 6", "5 13"])
+        g = read_graph_file(spark, p)
+        out = str(tmp_path / "exported")
+        write_graph_file(g, out)
+        g2 = read_graph_file(spark, out)
+        assert sorted(tuple(r) for r in g.edge_list().collect()) == sorted(
+            tuple(r) for r in g2.edge_list().collect()
+        )
+
+    def test_degree_sort_relabel(self, spark, tmp_path):
+        from arkouda_njit_spark.sources import read_graph_file
+
+        # star around 9 plus a pendant chain: degrees differ
+        p = self._write(tmp_path, ["9 1", "9 2", "9 3", "9 4", "1 2", "7 1"])
+        g = read_graph_file(spark, p, degree_sort=True)
+        rows = (
+            g.degree()
+            .join(g.vertices, "vid")
+            .orderBy("vid")
+            .select("vid", "degree", "label")
+            .collect()
+        )
+        degs = [r["degree"] for r in rows]
+        assert degs == sorted(degs)  # vids ascend by degree
+        # ties broken by original label, ascending
+        for a, b in zip(rows, rows[1:]):
+            if a["degree"] == b["degree"]:
+                assert a["label"] < b["label"]
+        # structure preserved: degree multiset unchanged
+        g0 = read_graph_file(spark, p)
+        assert sorted(degs) == sorted(
+            r["degree"] for r in g0.degree().collect()
+        )
+
+    def test_rcm_relabel_bandwidth(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from arkouda_njit_spark.sources import read_graph_file
+
+        # a path 0-1-2-...-7 written with scattered labels: RCM must
+        # recover a banded ordering (bandwidth 1 on a path)
+        import random
+
+        rng = random.Random(5)
+        perm = list(range(8))
+        rng.shuffle(perm)
+        lines = [f"{perm[i]} {perm[i+1]}" for i in range(7)]
+        p = self._write(tmp_path, lines)
+        g = read_graph_file(spark, p, rcm=True)
+        bw = (
+            g.edges.agg(F.max(F.abs(F.col("src") - F.col("dst")))).collect()[0][0]
+        )
+        assert bw == 1  # perfect path band; scattered labels would give >1
+        # reversal property: the start (min-degree endpoint) gets the HIGHEST vid
+        g_cm = read_graph_file(spark, p, rcm=False)
+        assert g.n_vertices == g_cm.n_vertices == 8
+
+    def test_rcm_unreachable_components_appended(self, spark, tmp_path):
+        from arkouda_njit_spark.sources import read_graph_file
+
+        p = self._write(tmp_path, ["0 1", "1 2", "10 11"])
+        g = read_graph_file(spark, p, rcm=True)
+        assert g.n_vertices == 5 and g.n_edges == 3
+        # all vids still a dense 0..n-1 permutation
+        vids = sorted(r["vid"] for r in g.vertices.collect())
+        assert vids == list(range(5))
