@@ -74,6 +74,16 @@ _GRAPH_PARTITIONS = 16
 
 def _tune(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The driver hands us ITS session, which on stock Spark 4 means AQE on
+    # and 200 shuffle partitions. At sf0.01 both hurt badly, measured on
+    # triangle_centrality: AQE re-plans the hinted shuffle_hash wedge joins
+    # around the cached exchanges (172 s vs 14.8 s with AQE off!), and 200
+    # partitions pay ~12x task overhead per tiny stage. Pin both for the
+    # correctness workload; bench/tests build their own session via
+    # get_spark (AQE on, 64 MB broadcast threshold) where the big-data
+    # trade-offs are the opposite.
+    spark.conf.set("spark.sql.shuffle.partitions", str(_GRAPH_PARTITIONS))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     return spark
 
 
@@ -269,6 +279,7 @@ def q_connected_components(spark, sf_dir):
 
 
 def q_component_sizes(spark, sf_dir):
+    _tune(spark)
     cc = q_connected_components(spark, sf_dir)
     return cc.groupBy("component").agg(F.count("*").cast("long").alias("size"))
 
@@ -296,6 +307,7 @@ def q_bfs(spark, sf_dir):
 
 
 def q_complete_graph(spark, sf_dir):
+    _tune(spark)
     return complete_graph(spark, 8).select(
         F.col("src").cast("long"), F.col("dst").cast("long")
     )
@@ -511,6 +523,7 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
+    _tune(spark)
     media = generate_media(spark, n=120, seed=42)
     feats = extract_features(media, dim=16)
     return feats.select(
@@ -528,6 +541,7 @@ def q_web_pagerank(spark, sf_dir):
     the link table host-side via the pure-Python XXH64 replay
     (functions/xxh64.py) — if extraction or graph canonicalization drops or
     mangles an edge, the ranks diverge and the hash check fails."""
+    _tune(spark)
     pages = generate_pages(spark, n_pages=500, links_per_page=8, seed=42)
     g = build_web_graph(pages)
     pr = pagerank(g, max_iterations=20, tol=0)
@@ -575,6 +589,7 @@ def q_host_graph(spark, sf_dir):
     """Host-level webgraph rollup (the Common-Crawl host-webgraph view):
     url→url links aggregated to host→host weights. Oracle replays the
     generator's link draws via the XXH64 port and aggregates in SQL."""
+    _tune(spark)
     from arkouda_njit_spark.sources import build_host_graph
 
     pages = generate_pages(spark, n_pages=500, links_per_page=8, seed=42)
@@ -816,6 +831,7 @@ def q_wcc_split(spark, sf_dir):
     one bridge: WCC must split every cluster at the bridge (cut 1 <=
     floor(log10(30))) and emit the 20 cliques (cut 14 > floor(log10(15))).
     Expected output is closed-form: cluster = vertex // 15."""
+    _tune(spark)
     from arkouda_njit_spark.operators import well_connected_components
 
     ids = spark.range(300).select(F.col("id").alias("a"))
@@ -864,6 +880,7 @@ def _propgraph_ls(spark: SparkSession, sf_dir: str):
 def q_filter_edges(spark, sf_dir):
     """PropGraph.filter_edges (propgraphclass.py:560-597): edges whose
     attribute matches AND both endpoints match the node predicate."""
+    _tune(spark)
     pg = _propgraph_ls(spark, sf_dir)
     out = pg.filter_edges({"grp": [0, 1]}, {"rf": ["A", "N"]})
     return out.select(F.col("src").cast("long"), F.col("dst").cast("long"))
@@ -872,6 +889,7 @@ def q_filter_edges(spark, sf_dir):
 def q_subgraph_view(spark, sf_dir):
     """PropGraph.subgraph_view with only a node filter — the reference's
     committed OR-quirk (either endpoint suffices, propgraphclass.py:643-644)."""
+    _tune(spark)
     pg = _propgraph_ls(spark, sf_dir)
     sub = pg.subgraph_view(filter_node=F.col("grp") == 2)
     return sub.edge_list().select(
