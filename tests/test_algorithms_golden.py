@@ -166,3 +166,20 @@ def test_jaccard_vs_networkx(spark):
     expected = {(u, v): j for u, v, j in nx.jaccard_coefficient(nxg, pairs)}
     for p in pairs:
         assert got[p] == pytest.approx(expected[p]), p
+
+
+def test_multi_source_bfs_per_root_depths(spark):
+    from arkouda_njit_spark.operators.bfs import multi_source_bfs
+
+    # two components, roots at one end of each; depths are per-root
+    e = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1), (10, 11), (11, 10)], "src long, dst long"
+    )
+    s = spark.createDataFrame([(0, 0), (10, 10)], "root long, vid long")
+    got = sorted(tuple(r) for r in multi_source_bfs(e, s).collect())
+    assert got == [(0, 0, 0), (0, 1, 1), (0, 2, 2), (10, 10, 0), (10, 11, 1)]
+
+    # two roots in the SAME component explore independently
+    s2 = spark.createDataFrame([(0, 0), (2, 2)], "root long, vid long")
+    got2 = sorted(tuple(r) for r in multi_source_bfs(e, s2).collect())
+    assert (0, 2, 2) in got2 and (2, 0, 2) in got2 and len(got2) == 6
