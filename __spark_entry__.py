@@ -92,6 +92,35 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def q_rcm(spark, sf_dir):
+    """Legacy RCMFlag relabel (level-set reverse Cuthill-McKee,
+    sources/files.py:rcm_relabel) on a deterministic caterpillar (path
+    0..11 with pendant leaves on even spine vertices) plus an isolated
+    triangle component: varying degrees exercise the (level, degree,
+    label) tie-breaks, and the second component exercises the
+    unreachable-appended branch. Oracle = 14 unrolled min-distance
+    relaxation rounds + a window rank, reversed."""
+    _tune(spark)
+    spine = spark.range(12).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    leaves = (
+        spark.range(12)
+        .filter(F.col("id") % 2 == 0)
+        .select(F.col("id").alias("src"), (F.col("id") + 50).alias("dst"))
+    )
+    tri = spark.createDataFrame(
+        [(100, 101), (101, 102), (102, 100)], "src long, dst long"
+    )
+    edges = spine.unionAll(leaves).unionAll(tri).withColumn("weight", F.lit(1.0))
+    from arkouda_njit_spark.sources import rcm_relabel
+
+    g = rcm_relabel(Graph.from_edges(spark, edges, num_partitions=_GRAPH_PARTITIONS))
+    return g.vertices.select(
+        F.col("vid").cast("long"), F.col("label").cast("long")
+    )
+
+
 def q_degree_sort(spark, sf_dir):
     """Legacy DegreeSortFlag relabel on graph A: new vids ascend by
     (degree, label) — dev-tree graph_file_read's degree-sorted remap
@@ -1009,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_edges": q_filter_edges,
         "subgraph_view": q_subgraph_view,
         "degree_sort": q_degree_sort,
+        "rcm": q_rcm,
         "triangles_subset": q_triangles_subset,
         # rows-only in round 1, oracled since round 2:
         "minhash_near_dups": q_minhash_near_dups,
@@ -1577,6 +1607,150 @@ FROM lineitem GROUP BY 1, 2
         "degree": f"""
 WITH {_A_EDGES}
 SELECT node, deg AS degree FROM deg
+""",
+        "rcm": """
+WITH base(u, v) AS (
+  SELECT i, i + 1 FROM generate_series(0, 11) t(i)
+  UNION ALL
+  SELECT i, i + 50 FROM generate_series(0, 11) t(i) WHERE i % 2 = 0
+  UNION ALL
+  SELECT * FROM (VALUES (100, 101), (101, 102), (102, 100))
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM base WHERE u <> v
+),
+sym AS MATERIALIZED (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+verts AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym),
+deg AS MATERIALIZED (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY u),
+start AS MATERIALIZED (SELECT node FROM deg ORDER BY deg, node LIMIT 1),
+d0 AS MATERIALIZED (
+  SELECT v.node,
+         CASE WHEN v.node = (SELECT node FROM start) THEN 0
+              ELSE 1000000 END AS dist
+  FROM verts v
+),
+d1 AS MATERIALIZED (
+  SELECT v.node,
+         LEAST(p.dist,
+               COALESCE((SELECT MIN(pp.dist) + 1 FROM sym e
+                         JOIN d0 pp ON pp.node = e.u
+                         WHERE e.v = v.node AND pp.dist < 1000000), 1000000)) AS dist
+  FROM verts v JOIN d0 p ON p.node = v.node
+),
+d2 AS MATERIALIZED (
+  SELECT v.node,
+         LEAST(p.dist,
+               COALESCE((SELECT MIN(pp.dist) + 1 FROM sym e
+                         JOIN d1 pp ON pp.node = e.u
+                         WHERE e.v = v.node AND pp.dist < 1000000), 1000000)) AS dist
+  FROM verts v JOIN d1 p ON p.node = v.node
+),
+d3 AS MATERIALIZED (
+  SELECT v.node,
+         LEAST(p.dist,
+               COALESCE((SELECT MIN(pp.dist) + 1 FROM sym e
+                         JOIN d2 pp ON pp.node = e.u
+                         WHERE e.v = v.node AND pp.dist < 1000000), 1000000)) AS dist
+  FROM verts v JOIN d2 p ON p.node = v.node
+),
+d4 AS MATERIALIZED (
+  SELECT v.node,
+         LEAST(p.dist,
+               COALESCE((SELECT MIN(pp.dist) + 1 FROM sym e
+                         JOIN d3 pp ON pp.node = e.u
+                         WHERE e.v = v.node AND pp.dist < 1000000), 1000000)) AS dist
+  FROM verts v JOIN d3 p ON p.node = v.node
+),
+d5 AS MATERIALIZED (
+  SELECT v.node,
+         LEAST(p.dist,
+               COALESCE((SELECT MIN(pp.dist) + 1 FROM sym e
+                         JOIN d4 pp ON pp.node = e.u
+                         WHERE e.v = v.node AND pp.dist < 1000000), 1000000)) AS dist
+  FROM verts v JOIN d4 p ON p.node = v.node
+),
+d6 AS MATERIALIZED (
+  SELECT v.node,
+         LEAST(p.dist,
+               COALESCE((SELECT MIN(pp.dist) + 1 FROM sym e
+                         JOIN d5 pp ON pp.node = e.u
+                         WHERE e.v = v.node AND pp.dist < 1000000), 1000000)) AS dist
+  FROM verts v JOIN d5 p ON p.node = v.node
+),
+d7 AS MATERIALIZED (
+  SELECT v.node,
+         LEAST(p.dist,
+               COALESCE((SELECT MIN(pp.dist) + 1 FROM sym e
+                         JOIN d6 pp ON pp.node = e.u
+                         WHERE e.v = v.node AND pp.dist < 1000000), 1000000)) AS dist
+  FROM verts v JOIN d6 p ON p.node = v.node
+),
+d8 AS MATERIALIZED (
+  SELECT v.node,
+         LEAST(p.dist,
+               COALESCE((SELECT MIN(pp.dist) + 1 FROM sym e
+                         JOIN d7 pp ON pp.node = e.u
+                         WHERE e.v = v.node AND pp.dist < 1000000), 1000000)) AS dist
+  FROM verts v JOIN d7 p ON p.node = v.node
+),
+d9 AS MATERIALIZED (
+  SELECT v.node,
+         LEAST(p.dist,
+               COALESCE((SELECT MIN(pp.dist) + 1 FROM sym e
+                         JOIN d8 pp ON pp.node = e.u
+                         WHERE e.v = v.node AND pp.dist < 1000000), 1000000)) AS dist
+  FROM verts v JOIN d8 p ON p.node = v.node
+),
+d10 AS MATERIALIZED (
+  SELECT v.node,
+         LEAST(p.dist,
+               COALESCE((SELECT MIN(pp.dist) + 1 FROM sym e
+                         JOIN d9 pp ON pp.node = e.u
+                         WHERE e.v = v.node AND pp.dist < 1000000), 1000000)) AS dist
+  FROM verts v JOIN d9 p ON p.node = v.node
+),
+d11 AS MATERIALIZED (
+  SELECT v.node,
+         LEAST(p.dist,
+               COALESCE((SELECT MIN(pp.dist) + 1 FROM sym e
+                         JOIN d10 pp ON pp.node = e.u
+                         WHERE e.v = v.node AND pp.dist < 1000000), 1000000)) AS dist
+  FROM verts v JOIN d10 p ON p.node = v.node
+),
+d12 AS MATERIALIZED (
+  SELECT v.node,
+         LEAST(p.dist,
+               COALESCE((SELECT MIN(pp.dist) + 1 FROM sym e
+                         JOIN d11 pp ON pp.node = e.u
+                         WHERE e.v = v.node AND pp.dist < 1000000), 1000000)) AS dist
+  FROM verts v JOIN d11 p ON p.node = v.node
+),
+d13 AS MATERIALIZED (
+  SELECT v.node,
+         LEAST(p.dist,
+               COALESCE((SELECT MIN(pp.dist) + 1 FROM sym e
+                         JOIN d12 pp ON pp.node = e.u
+                         WHERE e.v = v.node AND pp.dist < 1000000), 1000000)) AS dist
+  FROM verts v JOIN d12 p ON p.node = v.node
+),
+d14 AS MATERIALIZED (
+  SELECT v.node,
+         LEAST(p.dist,
+               COALESCE((SELECT MIN(pp.dist) + 1 FROM sym e
+                         JOIN d13 pp ON pp.node = e.u
+                         WHERE e.v = v.node AND pp.dist < 1000000), 1000000)) AS dist
+  FROM verts v JOIN d13 p ON p.node = v.node
+),
+keyed AS (
+  SELECT v.node, d14.dist AS lvl, deg.deg
+  FROM verts v JOIN d14 ON d14.node = v.node JOIN deg ON deg.node = v.node
+),
+cm AS (
+  SELECT node, ROW_NUMBER() OVER (ORDER BY lvl, deg, node) - 1 AS r,
+         COUNT(*) OVER () AS n
+  FROM keyed
+)
+SELECT n - 1 - r AS vid, node AS label FROM cm
 """,
         "degree_sort": f"""
 WITH {_A_EDGES}
