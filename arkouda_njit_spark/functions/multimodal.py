@@ -5,8 +5,9 @@ Arrow batch shapes). Codec status per path:
 
 * ``decode="bmp"`` — a REAL, pure-numpy codec for uncompressed 24-bit
   BI_RGB Windows bitmaps (encode + decode + nearest-neighbour resize), no
-  external library needed. This is the one format this jar-less container
-  can decode for real; it exercises the full decode→pixels→re-encode path.
+  external library needed; exercises the full decode→pixels→re-encode path.
+* ``decode="wav"`` — a REAL, pure-numpy codec for PCM-16 RIFF/WAVE audio
+  (chunk-walking decode + encode + windowed-RMS features).
 * ``decode="fake"`` — deterministic content-derived stand-in so the
   distributed pipeline is testable end-to-end on arbitrary bytes.
 * ``decode="real"`` — raises NotImplementedError at the exact call site
@@ -133,11 +134,16 @@ def extract_features(
             if decode == "real":
                 raise NotImplementedError(
                     "real media decode requires PIL/soundfile/pyav, not present; "
-                    "use decode='bmp' (pure-numpy 24-bit BMP) or decode='fake'"
+                    "use decode='bmp'/'wav' (pure-numpy codecs) or decode='fake'"
                 )
             if decode == "bmp":
                 feats = [
                     _bmp_feature(bytes(b) if b is not None else b"", dim).tolist()
+                    for b in pdf["data"]
+                ]
+            elif decode == "wav":
+                feats = [
+                    _wav_feature(bytes(b) if b is not None else b"", dim).tolist()
                     for b in pdf["data"]
                 ]
             else:
@@ -237,3 +243,72 @@ def generate_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
         payload.alias("data"),
         F.create_map(F.lit("source"), F.lit("synthetic")).alias("meta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pure-numpy WAV codec (RIFF, PCM 16-bit little-endian)
+# ---------------------------------------------------------------------------
+
+
+def wav_encode(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode float samples in [-1, 1] (mono (n,) or (n, ch)) as a 16-bit
+    PCM RIFF/WAVE file."""
+    import struct
+
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    pcm = np.clip(np.round(samples * 32767.0), -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    byte_rate = sample_rate * ch * 2
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sample_rate, byte_rate, ch * 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM-16 RIFF/WAVE file → (float64 samples in [-1, 1] of
+    shape (n, ch), sample_rate). Walks the chunk list, so extra chunks
+    (LIST/fact) before ``data`` are handled."""
+    import struct
+
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = data[pos : pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, ch, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported WAV variant (format={audio_format}, bits={bits}); "
+            f"only PCM-16 is implemented"
+        )
+    pcm = np.frombuffer(raw, dtype="<i2")
+    return (pcm.astype("float64") / 32767.0).reshape(-1, ch), sample_rate
+
+
+def _wav_feature(data: bytes, dim: int) -> np.ndarray:
+    """REAL audio feature from decoded PCM: per-window RMS energy over
+    ``dim`` equal windows of the mono mix, L2-normalized."""
+    samples, _ = wav_decode(data)
+    mono = samples.mean(axis=1)
+    n = len(mono)
+    if n == 0:
+        return np.zeros(dim, dtype="float32")
+    idx = (np.arange(n) * dim) // n
+    energy = np.bincount(idx, weights=mono * mono, minlength=dim)[:dim]
+    counts = np.bincount(idx, minlength=dim)[:dim]
+    rms = np.sqrt(energy / np.maximum(counts, 1)).astype("float32")
+    norm = np.linalg.norm(rms)
+    return rms / norm if norm > 0 else rms

@@ -153,3 +153,73 @@ class TestBmpCodec:
             v = r["feature"]
             assert len(v) == 8
             assert abs(sum(x * x for x in v) - 1.0) < 1e-5  # L2-normalized
+
+
+class TestWavCodec:
+    """decode='wav' is a REAL codec: pure-numpy PCM-16 RIFF/WAVE."""
+
+    def _tone(self, freq, n=8000, sr=16000, amp=0.5):
+        import numpy as np
+
+        t = np.arange(n) / sr
+        return amp * np.sin(2 * np.pi * freq * t)
+
+    def test_round_trip_quantization_exact(self):
+        import numpy as np
+
+        from arkouda_njit_spark.functions import wav_decode, wav_encode
+
+        sig = self._tone(440)
+        data = wav_encode(sig, sample_rate=16000)
+        assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+        back, sr = wav_decode(data)
+        assert sr == 16000 and back.shape == (8000, 1)
+        assert np.abs(back[:, 0] - sig).max() < 1.0 / 32767  # 16-bit quantization
+        # re-encode of the decode is byte-identical
+        assert wav_encode(back[:, 0], sample_rate=16000)[44:] == data[44:]
+
+    def test_stereo_and_extra_chunk(self):
+        import numpy as np
+
+        from arkouda_njit_spark.functions import wav_decode, wav_encode
+
+        stereo = np.stack([self._tone(220), self._tone(330)], axis=1)
+        data = wav_encode(stereo)
+        # splice an extra LIST chunk between fmt and data — decoder must skip
+        import struct
+
+        extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+        spliced = data[:36] + extra + data[36:]
+        spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+        back, sr = wav_decode(spliced)
+        assert back.shape == (8000, 2)
+        assert np.abs(back - stereo).max() < 1.0 / 32767
+
+    def test_decode_rejects_non_wav(self):
+        import pytest
+
+        from arkouda_njit_spark.functions import wav_decode
+
+        with pytest.raises(ValueError):
+            wav_decode(b"\x00" * 100)
+
+    def test_spark_wav_feature_extraction(self, spark):
+        import numpy as np
+
+        from arkouda_njit_spark.functions import extract_features, wav_encode
+
+        rows = []
+        for i in range(4):
+            # first half silent, second half loud -> RMS profile is a step
+            sig = np.concatenate([np.zeros(4000), self._tone(100 * (i + 1), 4000)])
+            rows.append((i, "audio", bytes(wav_encode(sig)), None))
+        media = spark.createDataFrame(
+            rows, "media_id long, kind string, data binary, meta map<string,string>"
+        )
+        feats = {r["media_id"]: r["feature"]
+                 for r in extract_features(media, dim=8, decode="wav").collect()}
+        assert len(feats) == 4
+        for v in feats.values():
+            assert len(v) == 8
+            assert abs(sum(x * x for x in v) - 1.0) < 1e-5  # L2-normalized
+            assert sum(v[:4]) < 1e-6 < min(v[4:])  # silent half vs loud half
