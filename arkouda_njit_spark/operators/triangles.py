@@ -114,6 +114,46 @@ def _triangle_rows_cached(
     return closed, [und, o]
 
 
+def _triangle_rows_localized(
+    graph: Graph, qvids: DataFrame
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Triangle rows restricted to triangles INCIDENT to the query vids —
+    the subset path that makes ``triangles(g, vertices)`` scale-correct:
+    every member of a triangle containing v is adjacent to v, so the
+    triangle's wedge pivot lies in {v} ∪ N(v); restricting the oriented
+    table to those pivots before the wedge self-join bounds the work by
+    the query's neighborhood (Σ deg(q) pivots × O(√m) oriented fan-out)
+    instead of the whole graph. A 5-vertex query on a 10^12-edge graph
+    must not run the global kernel."""
+    P = graph.num_partitions
+    und = _undirected_simple_edges(graph).persist()
+    # N(Q) from the symmetric edge table, plus Q itself
+    pivots = (
+        graph.edges.select("src", "dst")
+        .join(qvids.withColumnRenamed("vid", "src"), "src", "left_semi")
+        .select(F.col("dst").alias("lo"))
+        .unionAll(qvids.select(F.col("vid").alias("lo")))
+        .distinct()
+    )
+    o = (
+        oriented_edges(graph, und=und)
+        .join(pivots, "lo", "left_semi")
+        .repartition(P, "lo")
+        .persist()
+    )
+    big = graph.n_edges >= BIG_EDGE_THRESHOLD
+    sh = (lambda df: df.hint("shuffle_hash")) if big else (lambda df: df)
+    w1 = o.select(F.col("lo").alias("p"), F.col("hi").alias("b"))
+    w2 = o.select(F.col("lo").alias("p"), F.col("hi").alias("c"))
+    wedges = w1.join(sh(w2), "p").filter(F.col("b") < F.col("c"))
+    closed = wedges.join(
+        sh(und),
+        (F.col("b") == F.col("u")) & (F.col("c") == F.col("v")),
+        "left_semi",
+    ).select(F.col("p").alias("a"), "b", "c")
+    return closed, [und, o]
+
+
 def triangle_rows(graph: Graph) -> DataFrame:
     """All triangles, one row each: (a, b, c) with no canonical meaning
     beyond distinctness (a = pivot, b < c in vid order). The returned plan
@@ -133,9 +173,30 @@ def triangle_count(graph: Graph) -> int:
 
 def triangles_per_vertex(graph: Graph, vertices: list[int] | None = None) -> DataFrame:
     """(vid, triangles) for every vertex — nx.triangles / reference
-    per-vertex variant (TriangleCount.chpl:51-85). ``vertices`` filters to
-    the given *original labels* in their given order is the caller's
-    concern; here vid-space counts are returned."""
+    per-vertex variant (TriangleCount.chpl:51-85). With ``vertices``
+    (internal vids), only those rows are returned AND the kernel runs the
+    LOCALIZED neighborhood path (`_triangle_rows_localized`) instead of
+    enumerating every triangle in the graph."""
+    if vertices is not None:
+        spark = graph.spark
+        qvids = spark.createDataFrame(
+            [(int(v),) for v in vertices], "vid long"
+        )
+        tri, handles = _triangle_rows_localized(graph, qvids)
+        incid = (
+            tri.select(F.col("a").alias("vid"))
+            .unionAll(tri.select(F.col("b").alias("vid")))
+            .unionAll(tri.select(F.col("c").alias("vid")))
+            .join(qvids, "vid", "left_semi")
+            .groupBy("vid")
+            .agg(F.count("*").alias("triangles"))
+            .localCheckpoint(eager=True)
+        )
+        for h in handles:
+            h.unpersist()
+        return qvids.join(incid, "vid", "left").select(
+            "vid", F.coalesce("triangles", F.lit(0)).alias("triangles")
+        )
     tri, handles = _triangle_rows_cached(graph)
     incid = (
         tri.select(F.col("a").alias("vid"))
@@ -147,12 +208,9 @@ def triangles_per_vertex(graph: Graph, vertices: list[int] | None = None) -> Dat
     )
     for h in handles:
         h.unpersist()
-    out = graph.vertices.join(incid, "vid", "left").select(
+    return graph.vertices.join(incid, "vid", "left").select(
         "vid", F.coalesce("triangles", F.lit(0)).alias("triangles")
     )
-    if vertices is not None:
-        out = out.filter(F.col("vid").isin([int(v) for v in vertices]))
-    return out
 
 
 def triangle_total_reference(graph: Graph) -> int:
@@ -178,7 +236,13 @@ def triangles(graph: Graph, vertices: list[int] | None = None):
     found = req.join(
         graph.vertices.select(F.col("label").alias("node"), "vid"), "node"
     )
-    counts = triangles_per_vertex(graph).withColumnRenamed("triangles", "t")
+    # the subset list is driver-resident by definition — collect the found
+    # vids and run the LOCALIZED kernel (neighborhood-restricted pivots)
+    found = found.localCheckpoint(eager=True)
+    found_vids = [r["vid"] for r in found.select("vid").collect()]
+    counts = triangles_per_vertex(graph, vertices=found_vids).withColumnRenamed(
+        "triangles", "t"
+    )
     got = found.join(counts, "vid", "left").select(
         "in_pos", "node", F.coalesce("t", F.lit(0)).alias("triangles")
     )

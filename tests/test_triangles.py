@@ -66,3 +66,26 @@ def test_triangles_label_order_parity(spark):
     assert [r["pos"] for r in rows2] == [0, 1]
     # no vertices: the reference scalar (3 x distinct)
     assert triangles(graph) == 3 * sum(nx.triangles(nxg).values()) // 3
+
+
+def test_triangles_subset_localized_matches_full_on_skewed_graph(spark):
+    """The localized neighborhood kernel (round 3) must agree with the full
+    enumeration on an RMAT graph with hubs — including a hub vid in the
+    query set."""
+    from pyspark.sql import functions as F
+
+    from arkouda_njit_spark.sources.generators import rmat_graph
+
+    raw = rmat_graph(spark, scale=11, edge_factor=6, seed=3)
+    graph = Graph.from_edges(spark, raw.withColumn("weight", F.lit(1.0)))
+    full = {
+        r["vid"]: r["triangles"] for r in triangles_per_vertex(graph).collect()
+    }
+    hub = max(full, key=lambda v: full[v])
+    lonely = min(full, key=lambda v: full[v])
+    q = [hub, lonely, 0, 1, 17]
+    got = {
+        r["vid"]: r["triangles"]
+        for r in triangles_per_vertex(graph, vertices=q).collect()
+    }
+    assert got == {v: full[v] for v in q}
