@@ -276,6 +276,57 @@ spark.stop()
 """
 
 
+WCC_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from arkouda_njit_spark.session import get_spark
+from arkouda_njit_spark.operators import well_connected_components
+
+cpus = int(sys.argv[1])
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+K = %(n_clusters)d   # clusters, each = two S-cliques + one bridge
+S = %(clique)d
+# clique edges: vertices b*2S..b*2S+2S-1; cliques [0,S) and [S,2S) per block
+v = spark.range(K * 2 * S).select(
+    F.col("id").alias("a"),
+    (F.col("id") / (2 * S)).cast("long").alias("blk"),
+    F.pmod(F.col("id"), F.lit(2 * S)).alias("off"),
+)
+w = v.select(F.col("a").alias("b"), F.col("blk"), F.col("off").alias("off2"))
+cliq = (
+    v.join(w, "blk")
+    .filter((F.col("a") < F.col("b"))
+            & (F.floor(F.col("off") / S) == F.floor(F.col("off2") / S)))
+    .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+)
+bridges = spark.range(K).select(
+    (F.col("id") * 2 * S).alias("src"), (F.col("id") * 2 * S + S).alias("dst")
+)
+edges = cliq.unionAll(bridges).persist()
+n_edges = edges.count()
+clustering = spark.range(K * 2 * S).select(
+    F.col("id").alias("node"), (F.col("id") / (2 * S)).cast("long").alias("cluster")
+)
+# warmup (JIT the CC + grouped-map Stoer-Wagner path) on a slice
+well_connected_components(edges.filter(F.col("src") < 4 * S),
+                          clustering.filter(F.col("node") < 4 * S)).count()
+t0 = time.time()
+out = well_connected_components(edges, clustering)
+n_out = out.count()
+n_clusters_out = out.select("cluster").distinct().count()
+wall = time.time() - t0
+assert n_clusters_out == 2 * K, (n_clusters_out, 2 * K)  # every bridge cut
+rows = out.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+print(json.dumps({"cpus": cpus, "wall_sec": wall, "units": n_edges,
+                  "throughput": n_edges / wall, "iters_per_hour": None,
+                  "clusters_in": K, "clusters_out": n_clusters_out,
+                  "partition_rows": {str(r["pid"]): r["count"] for r in rows}}))
+spark.stop()
+"""
+
+
 def run_at(worker: str, cpus: int, params: dict) -> dict:
     code = worker % params
     out = subprocess.run(
@@ -340,6 +391,17 @@ JOBS = {
             "tc_ef": int(os.environ.get("SPARK_GRAFT_SCALING_TC_EF", "8")),
         },
         f"triad_census_rmat{os.environ.get('SPARK_GRAFT_SCALING_TC_SCALE', '18')}",
+        "edges_per_sec",
+    ),
+    "wcc": (
+        WCC_WORKER,
+        {
+            "repo": REPO,
+            "n_clusters": int(os.environ.get("SPARK_GRAFT_SCALING_WCC_CLUSTERS", "2000")),
+            "clique": int(os.environ.get("SPARK_GRAFT_SCALING_WCC_CLIQUE", "24")),
+        },
+        f"wcc_{os.environ.get('SPARK_GRAFT_SCALING_WCC_CLUSTERS', '2000')}x2x"
+        f"{os.environ.get('SPARK_GRAFT_SCALING_WCC_CLIQUE', '24')}cliques",
         "edges_per_sec",
     ),
     "triangles": (
