@@ -106,6 +106,16 @@ def subgraph_search(
     pedge_set = set(pedges)
 
     E = graph.edges.select("src", "dst").persist()
+    # Join dispatch (same rule as triangles/ktruss/triads): past the
+    # threshold the edge table's broadcast hash relation would build
+    # single-threaded on the driver FOR EVERY extension/semi/anti join of
+    # the level loop — measured NEGATIVE 2→8 scaling on RMAT-19 (293 s at
+    # 2 threads, 339 s at 8). shuffle_hash builds per-partition maps in
+    # parallel; broadcast is impossible at web scale anyway.
+    from .triangles import BIG_EDGE_THRESHOLD
+
+    _big = graph.n_edges >= BIG_EDGE_THRESHOLD
+    _sh = (lambda df: df.hint("shuffle_hash")) if _big else (lambda df: df)
 
     # Degree-based candidate pruning (the reference's vertex validator,
     # SubgraphSearch.chpl:1106-1118): a graph vertex can only bind pattern
@@ -182,18 +192,18 @@ def subgraph_search(
         if bwd:
             anchor = bwd[0]
             ext = state.join(
-                edge_table(anchor, vi).select(
+                _sh(edge_table(anchor, vi).select(
                     F.col("src").alias(f"m{anchor}"), F.col("dst").alias(new)
-                ),
+                )),
                 f"m{anchor}",
             )
             bwd = bwd[1:]
         elif fwd:
             anchor = fwd[0]
             ext = state.join(
-                edge_table(vi, anchor).select(
+                _sh(edge_table(vi, anchor).select(
                     F.col("dst").alias(f"m{anchor}"), F.col("src").alias(new)
-                ),
+                )),
                 f"m{anchor}",
             )
             fwd = fwd[1:]
@@ -211,17 +221,17 @@ def subgraph_search(
         # remaining required edges
         for vj in bwd:
             ext = ext.join(
-                edge_table(vj, vi).select(
+                _sh(edge_table(vj, vi).select(
                     F.col("src").alias(f"m{vj}"), F.col("dst").alias(new)
-                ),
+                )),
                 [f"m{vj}", new],
                 "left_semi",
             )
         for vj in fwd:
             ext = ext.join(
-                edge_table(vi, vj).select(
+                _sh(edge_table(vi, vj).select(
                     F.col("dst").alias(f"m{vj}"), F.col("src").alias(new)
-                ),
+                )),
                 [f"m{vj}", new],
                 "left_semi",
             )
@@ -230,13 +240,13 @@ def subgraph_search(
             for vj in bound:
                 if (vi, vj) not in pedge_set:
                     ext = ext.join(
-                        E.select(F.col("src").alias(new), F.col("dst").alias(f"m{vj}")),
+                        _sh(E.select(F.col("src").alias(new), F.col("dst").alias(f"m{vj}"))),
                         [new, f"m{vj}"],
                         "left_anti",
                     )
                 if (vj, vi) not in pedge_set:
                     ext = ext.join(
-                        E.select(F.col("src").alias(f"m{vj}"), F.col("dst").alias(new)),
+                        _sh(E.select(F.col("src").alias(f"m{vj}"), F.col("dst").alias(new))),
                         [f"m{vj}", new],
                         "left_anti",
                     )

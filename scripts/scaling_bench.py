@@ -327,6 +327,38 @@ spark.stop()
 """
 
 
+SUBGRAPH_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from arkouda_njit_spark.session import get_spark
+from arkouda_njit_spark import DiGraph
+from arkouda_njit_spark.operators.subgraph_search import subgraph_search
+from arkouda_njit_spark.sources.generators import rmat_graph
+
+cpus = int(sys.argv[1])
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+raw = rmat_graph(spark, scale=%(sg_scale)d, edge_factor=%(sg_ef)d, seed=42)
+g = DiGraph.from_edges(spark, raw.withColumn("weight", F.lit(1.0)))
+edges = g.edges.count()
+# pattern: directed 3-cycle (non-induced) — the reference demo pattern
+warm = DiGraph.from_edges(spark, rmat_graph(spark, scale=10, edge_factor=4, seed=7)
+                          .withColumn("weight", F.lit(1.0)))
+subgraph_search(warm, [(0, 1), (1, 2), (2, 0)], induced=False).count()
+t0 = time.time()
+emb = subgraph_search(g, [(0, 1), (1, 2), (2, 0)], induced=False)
+n = emb.count()
+wall = time.time() - t0
+rows = emb.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+print(json.dumps({"cpus": cpus, "wall_sec": wall, "units": edges,
+                  "throughput": edges / wall, "iters_per_hour": None,
+                  "n_embeddings": n,
+                  "partition_rows": {str(r["pid"]): r["count"] for r in rows}}))
+spark.stop()
+"""
+
+
 def run_at(worker: str, cpus: int, params: dict) -> dict:
     code = worker % params
     out = subprocess.run(
@@ -391,6 +423,16 @@ JOBS = {
             "tc_ef": int(os.environ.get("SPARK_GRAFT_SCALING_TC_EF", "8")),
         },
         f"triad_census_rmat{os.environ.get('SPARK_GRAFT_SCALING_TC_SCALE', '18')}",
+        "edges_per_sec",
+    ),
+    "subgraph": (
+        SUBGRAPH_WORKER,
+        {
+            "repo": REPO,
+            "sg_scale": int(os.environ.get("SPARK_GRAFT_SCALING_SG_SCALE", "17")),
+            "sg_ef": int(os.environ.get("SPARK_GRAFT_SCALING_SG_EF", "6")),
+        },
+        f"subgraph_c3_rmat{os.environ.get('SPARK_GRAFT_SCALING_SG_SCALE', '17')}",
         "edges_per_sec",
     ),
     "wcc": (
