@@ -57,6 +57,14 @@ def test_every_oracle_has_a_query():
     assert not missing
 
 
+def test_registry_fits_driver_snapshot():
+    """The driver's correctness snapshot records exactly the first 50
+    registry entries (observed rounds 2-3). Keep the registry at <=50 so
+    every registered query gets a CORRECTNESS row — if this fails, merge
+    queries instead of dropping coverage (round-3 verdict task 2)."""
+    assert len(entrymod.queries()) <= 50
+
+
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_query_matches_oracle(spark, ddb, name):
     qfn = entrymod.queries()[name]
