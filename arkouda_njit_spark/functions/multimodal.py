@@ -295,7 +295,11 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
             f"only PCM-16 is implemented"
         )
     pcm = np.frombuffer(raw, dtype="<i2")
-    return (pcm.astype("float64") / 32767.0).reshape(-1, ch), sample_rate
+    # scale convention: /32767 is the exact inverse of wav_encode's *32767,
+    # with a clip so the one unmatched code point (-32768, producible only
+    # by foreign encoders) stays inside the documented [-1, 1] range
+    samples = np.clip(pcm.astype("float64") / 32767.0, -1.0, 1.0)
+    return samples.reshape(-1, ch), sample_rate
 
 
 def _wav_feature(data: bytes, dim: int) -> np.ndarray:

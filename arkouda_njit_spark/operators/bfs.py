@@ -9,7 +9,12 @@ Spark formulation: the frontier is its own small DataFrame; one iteration is
 ``frontier ⋈ edges → distinct dst − visited``. The frontier is usually tiny
 relative to the edge table, so Spark broadcasts it under AQE (the reference's
 aggregation buffers correspond to the shuffle write path when it isn't).
-Visited state accumulates as (vid, depth); lineage is truncated per level.
+
+One action per level: the new frontier is lazily localCheckpointed (flat
+LogicalRDD plan, no job at creation) and counted — no isEmpty probe, no
+per-level re-checkpoint of the whole visited set. The visited state is the
+union of the checkpointed per-level frontiers, which partition the reached
+set, so total stored volume is O(reached vertices).
 """
 
 from __future__ import annotations
@@ -24,7 +29,9 @@ def bfs_layers(graph: Graph, source: int, source_is_label: bool = True) -> DataF
     """(vid, depth) for every vertex; depth -1 if unreachable.
 
     ``source`` is an original vertex label by default (reference API takes
-    labels); pass ``source_is_label=False`` for an internal vid.
+    labels); pass ``source_is_label=False`` for an internal vid. Single
+    source is the 1-root case of :func:`multi_source_bfs` (same kernel,
+    same one-job-per-level loop).
     """
     spark = graph.spark
     if source_is_label:
@@ -35,37 +42,9 @@ def bfs_layers(graph: Graph, source: int, source_is_label: bool = True) -> DataF
     else:
         src_vid = int(source)
 
-    edges = graph.edges.select("src", "dst")
-    visited = spark.createDataFrame([(src_vid, 0)], "vid long, depth int").localCheckpoint(
-        eager=True
-    )
-    frontier = visited.select("vid")
-    depth = 0
-    prev_frontier_src = None  # superseded checkpoints, released as we go
-    while True:
-        depth += 1
-        nxt = (
-            edges.join(frontier.withColumnRenamed("vid", "src"), "src")
-            .select(F.col("dst").alias("vid"))
-            .distinct()
-            .join(visited, "vid", "left_anti")
-            .withColumn("depth", F.lit(depth))
-        )
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
-            break
-        new_visited = visited.unionAll(nxt).localCheckpoint(eager=True)
-        # release superseded checkpoint blocks — without this a deep BFS
-        # (diameter's double sweep on a path-like component) pins
-        # O(depth × V) storage (FixpointLoop unpersists likewise)
-        visited.unpersist()
-        if prev_frontier_src is not None:
-            prev_frontier_src.unpersist()
-        prev_frontier_src = nxt
-        visited = new_visited
-        frontier = nxt.select("vid")
-
-    return graph.vertices.join(visited, "vid", "left").select(
+    sources = spark.createDataFrame([(0, int(src_vid))], "root long, vid long")
+    visited = multi_source_bfs(graph.edges.select("src", "dst"), sources)
+    return graph.vertices.join(visited.select("vid", "depth"), "vid", "left").select(
         "vid", F.coalesce("depth", F.lit(-1)).alias("depth")
     )
 
@@ -81,30 +60,44 @@ def multi_source_bfs(edges: DataFrame, sources: DataFrame) -> DataFrame:
     Diameter.chpl:143-186; this is the scale shape that replaces it).
     Reachability is per-root: roots in different components never mix because
     expansion follows edges only.
+
+    Exactly ONE action per level: the count on the new frontier. Each
+    level is a LAZY localCheckpoint — the Dataset wraps a flat LogicalRDD
+    at creation (no job), so per-level plans never nest the full history
+    (a plain ``persist`` keeps prior levels' plans inside every
+    InMemoryRelation and the analysis cost grows exponentially with
+    depth), and the count materializes the checkpoint blocks inside the
+    same job. The frontiers partition the reached set, so the union of
+    the checkpointed levels IS the visited state — total stored volume is
+    O(reached vertices), with no per-level O(visited) re-checkpoint and
+    no isEmpty probe. The returned union's blocks live until the Python
+    references are collected (checkpoint block cleanup is GC-driven);
+    callers that loop should drop their references promptly.
     """
-    visited = sources.select("root", "vid", F.lit(0).alias("depth")).localCheckpoint(
+    from functools import reduce
+
+    level0 = sources.select("root", "vid", F.lit(0).alias("depth")).localCheckpoint(
         eager=True
     )
-    frontier = visited.select("root", "vid")
+    levels = [level0]
+    frontier = level0.select("root", "vid")
     depth = 0
-    prev = None
     while True:
         depth += 1
+        visited_keys = reduce(
+            DataFrame.unionAll, [lv.select("root", "vid") for lv in levels]
+        )
         nxt = (
             edges.join(frontier.withColumnRenamed("vid", "src"), "src")
             .select("root", F.col("dst").alias("vid"))
             .distinct()
-            .join(visited, ["root", "vid"], "left_anti")
+            .join(visited_keys, ["root", "vid"], "left_anti")
             .withColumn("depth", F.lit(depth))
+            .localCheckpoint(eager=False)
         )
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        # the level's ONE action — materializes the checkpoint blocks
+        if nxt.count() == 0:
             break
-        new_visited = visited.unionAll(nxt).localCheckpoint(eager=True)
-        visited.unpersist()
-        if prev is not None:
-            prev.unpersist()
-        prev = nxt
-        visited = new_visited
+        levels.append(nxt)
         frontier = nxt.select("root", "vid")
-    return visited
+    return reduce(DataFrame.unionAll, levels)

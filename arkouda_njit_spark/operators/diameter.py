@@ -139,6 +139,9 @@ def diameter(graph: Graph, exact: bool = False, bfs_threshold: int = 2500) -> in
         # sweep 2: from each farthest vertex; component diameter lower bound
         d2 = multi_source_bfs(big_edges, far)
         big_best = d2.agg(F.max("depth")).collect()[0][0]
+        # d1/d2's per-level checkpoint blocks are GC-cleaned once these
+        # references drop (multi_source_bfs contract)
+        del d1, d2
         big_edges.unpersist()
         best = max(best, int(big_best) if big_best is not None else 0)
     comps.unpersist()

@@ -127,14 +127,17 @@ def _triangle_rows_localized(
     must not run the global kernel."""
     P = graph.num_partitions
     und = _undirected_simple_edges(graph).persist()
-    # N(Q) from the symmetric edge table, plus Q itself
-    pivots = (
-        graph.edges.select("src", "dst")
-        .join(qvids.withColumnRenamed("vid", "src"), "src", "left_semi")
-        .select(F.col("dst").alias("lo"))
-        .unionAll(qvids.select(F.col("vid").alias("lo")))
-        .distinct()
+    # N(Q) ∪ Q. Neighbors come from the SYMMETRIZED canonical table (both
+    # endpoint directions), not graph.edges src-side only — on a DiGraph
+    # the src-only semi-join misses in-neighbor pivots and undercounts
+    # incident triangles (round-3 advice).
+    nbrs = (
+        und.select(F.col("u").alias("vid"), F.col("v").alias("nbr"))
+        .unionAll(und.select(F.col("v").alias("vid"), F.col("u").alias("nbr")))
+        .join(qvids, "vid", "left_semi")
+        .select(F.col("nbr").alias("lo"))
     )
+    pivots = nbrs.unionAll(qvids.select(F.col("vid").alias("lo"))).distinct()
     o = (
         oriented_edges(graph, und=und)
         .join(pivots, "lo", "left_semi")
@@ -179,8 +182,10 @@ def triangles_per_vertex(graph: Graph, vertices: list[int] | None = None) -> Dat
     enumerating every triangle in the graph."""
     if vertices is not None:
         spark = graph.spark
+        # dedupe: duplicate vids would fan out the final left join (one
+        # incid row per duplicate) and cross-multiply counts downstream
         qvids = spark.createDataFrame(
-            [(int(v),) for v in vertices], "vid long"
+            [(int(v),) for v in dict.fromkeys(vertices)], "vid long"
         )
         tri, handles = _triangle_rows_localized(graph, qvids)
         incid = (

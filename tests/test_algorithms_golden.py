@@ -183,3 +183,36 @@ def test_multi_source_bfs_per_root_depths(spark):
     s2 = spark.createDataFrame([(0, 0), (2, 2)], "root long, vid long")
     got2 = sorted(tuple(r) for r in multi_source_bfs(e, s2).collect())
     assert (0, 2, 2) in got2 and (2, 0, 2) in got2 and len(got2) == 6
+
+
+def test_bfs_one_job_per_level(spark):
+    """The frontier loop runs at most one Spark job per BFS level: the
+    persisted-frontier count, which also materializes the lazy visited
+    checkpoint (round-3 verdict task 4 — the old loop paid an eager
+    checkpoint job AND an isEmpty probe per level)."""
+    from arkouda_njit_spark.operators.bfs import multi_source_bfs
+
+    n = 12  # path 0-1-...-12 → depth 12, 13 loop levels incl. empty frontier
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)] + [(i + 1, i) for i in range(n)],
+        "src long, dst long",
+    ).localCheckpoint(eager=True)  # keep scan jobs out of the measured group
+    s = spark.createDataFrame([(0, 0)], "root long, vid long")
+    sc = spark.sparkContext
+    # AQE materializes each exchange as its own job, turning one action into
+    # several jobs — pin it off so jobs == actions for the probe
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("bfs-jobs", "bfs job-count probe")
+    try:
+        visited = multi_source_bfs(e, s)
+        assert visited.count() == n + 1
+    finally:
+        sc.setJobGroup("", "")
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    jobs = len(sc.statusTracker().getJobIdsForGroup("bfs-jobs"))
+    # levels = n expanding + 1 empty = n+1 count jobs, + 1 eager sources
+    # checkpoint + 1 final count in this test
+    assert jobs <= n + 4, f"BFS ran {jobs} jobs for {n + 1} levels"
+    visited.unpersist()
+    e.unpersist()

@@ -178,6 +178,21 @@ class TestWavCodec:
         # re-encode of the decode is byte-identical
         assert wav_encode(back[:, 0], sample_rate=16000)[44:] == data[44:]
 
+    def test_full_scale_negative_sample_in_range(self):
+        """A foreign encoder's -32768 code point must decode inside the
+        documented [-1, 1] range (round-3 advice: /32767 alone gives
+        ~-1.00003)."""
+        import struct
+
+        import numpy as np
+
+        from arkouda_njit_spark.functions import wav_decode, wav_encode
+
+        data = bytearray(wav_encode(np.zeros(4), sample_rate=8000))
+        struct.pack_into("<h", data, 44, -32768)  # first sample, raw PCM
+        back, _ = wav_decode(bytes(data))
+        assert back.min() >= -1.0 and back[0, 0] == -1.0
+
     def test_stereo_and_extra_chunk(self):
         import numpy as np
 

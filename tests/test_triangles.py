@@ -89,3 +89,35 @@ def test_triangles_subset_localized_matches_full_on_skewed_graph(spark):
         for r in triangles_per_vertex(graph, vertices=q).collect()
     }
     assert got == {v: full[v] for v in q}
+
+
+def test_triangles_duplicate_labels(spark):
+    """Duplicate labels in triangles(vertices=...) must return one row per
+    input position with the correct count — no fan-out through the incid
+    join (round-3 advice: 2 duplicate inputs produced 4 rows)."""
+    from arkouda_njit_spark.operators.triangles import triangles
+
+    graph = Graph.from_edges(spark, ALGO28_SRC, ALGO28_DST)
+    nxg = nx_graph(ALGO28_SRC, ALGO28_DST)
+    rows = sorted(triangles(graph, [4, 4, 0]).collect(), key=lambda r: r["pos"])
+    assert [r["node"] for r in rows] == [4, 4, 0]
+    want = nx.triangles(nxg, [4, 0])
+    assert [r["triangles"] for r in rows] == [want[4], want[4], want[0]]
+
+
+def test_triangles_subset_localized_directed(spark):
+    """The localized pivot set must include IN-neighbors: on a DiGraph
+    whose query vertex has only incoming edges, the src-side-only pivot
+    semi-join would miss its triangles entirely (round-3 advice)."""
+    from arkouda_njit_spark.graph import DiGraph
+    from arkouda_njit_spark.operators.triangles import triangles_per_vertex
+
+    # directed 3-cycle 0->1->2->0 plus an extra sink edge 3->0:
+    # vertex 0 participates in the (undirected) triangle {0,1,2}
+    g = DiGraph.from_edges(spark, [0, 1, 2, 3], [1, 2, 0, 0])
+    per = {r["vid"]: r["triangles"] for r in triangles_per_vertex(g).collect()}
+    got = {
+        r["vid"]: r["triangles"]
+        for r in triangles_per_vertex(g, vertices=[2]).collect()
+    }
+    assert got[2] == per[2] == 1
