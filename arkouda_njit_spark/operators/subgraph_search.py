@@ -34,6 +34,27 @@ from pyspark.sql import functions as F
 
 from ..graph import DiGraph
 
+# join-dispatch crossover for the per-level EXTENSION join: a filtered edge
+# table at or below this many rows is broadcast (hash relation build is cheap
+# and parallelism-agnostic); above it, shuffle_hash builds per-partition maps
+# in parallel. The extension join's output is the level's candidate fan-out,
+# so its shuffle volume is bounded by |state| + |edges| — safe either way.
+SUBGRAPH_BROADCAST_ROWS = 100_000
+
+# dispatch ceiling for SEMI/ANTI constraint joins: these run over the
+# extension's wedge fan-out (|state| x avg-degree rows — orders of magnitude
+# larger than either input), so a shuffle join MATERIALIZES the fan-out to
+# shuffle files while a broadcast build keeps it streaming inside the
+# extension's stage (probe-and-drop in whole-stage codegen, never written).
+# The build side is the (pi,pj)-degree-filtered edge table, not the fan-out,
+# so broadcasting it is safe up to this row count (two longs per row: a
+# 20M-row hash relation is a few hundred MB, inside a normal executor's
+# broadcast budget); past it — the true web-scale regime — shuffle_hash is
+# the only executable shape and the fan-out materialization is the honest
+# cost of a binary-join plan (measured on RMAT-19: 920 s shuffled vs 293 s
+# pipelined at 2 threads; see BASELINE.md round-4 table).
+SUBGRAPH_SEMI_BROADCAST_ROWS = 20_000_000
+
 
 def _pattern_order(
     k: int,
@@ -106,20 +127,12 @@ def subgraph_search(
     pedge_set = set(pedges)
 
     E = graph.edges.select("src", "dst").persist()
-    # Join dispatch (same rule as triangles/ktruss/triads): past the
-    # threshold the edge table's broadcast hash relation would build
-    # single-threaded on the driver FOR EVERY extension/semi/anti join of
-    # the level loop — measured NEGATIVE 2→8 scaling on RMAT-19 (293 s at
-    # 2 threads, 339 s at 8). shuffle_hash builds per-partition maps in
-    # parallel; broadcast is impossible at web scale anyway.
-    from .triangles import BIG_EDGE_THRESHOLD
-
-    _big = graph.n_edges >= BIG_EDGE_THRESHOLD
-    _sh = (lambda df: df.hint("shuffle_hash")) if _big else (lambda df: df)
 
     # Degree-based candidate pruning (the reference's vertex validator,
-    # SubgraphSearch.chpl:1106-1118): a graph vertex can only bind pattern
-    # vertex i if its out/in degrees dominate the pattern vertex's.
+    # SubgraphSearch.chpl:1106-1118 + feasibility rules 1307-1475): a graph
+    # vertex can only bind pattern vertex i if its out/in degrees dominate
+    # the pattern vertex's. Sound because injectivity forces the pattern
+    # edges at a vertex onto DISTINCT graph neighbors.
     p_out = {i: 0 for i in range(k)}
     p_in = {i: 0 for i in range(k)}
     for a, b in pedges:
@@ -143,12 +156,66 @@ def subgraph_search(
         .persist()
     )
 
+    # ONE degree-augmented edge table, cached: every per-level edge table
+    # is then a pure FILTER over this cache (the degree feasibility bounds
+    # reach the in-memory scan — no join per level). Join dispatch is then
+    # ROLE-aware, not table-size-flat: the extension join (output = the
+    # level's fan-out; shuffle volume bounded by its inputs) follows the
+    # measured filtered-table size, while semi/anti constraint joins
+    # (probe side = the fan-out, orders of magnitude bigger than either
+    # input) broadcast their build side up to a much higher ceiling so the
+    # fan-out streams through them inside one codegen stage instead of
+    # being materialized to shuffle files (RMAT-19 A/B in BASELINE.md:
+    # 920 s all-shuffled vs 293 s all-broadcast at 2 threads; the hybrid
+    # keeps the pipelining AND the parallel extension build).
+    src_degs = degs.select(
+        F.col("vid").alias("src"),
+        F.col("_od").alias("_s_od"),
+        F.col("_id").alias("_s_id"),
+    )
+    dst_degs = degs.select(
+        F.col("vid").alias("dst"),
+        F.col("_od").alias("_d_od"),
+        F.col("_id").alias("_d_id"),
+    )
+    base_edges = E if edge_filter is None else edge_filter
+    edeg = base_edges.join(src_degs, "src").join(dst_degs, "dst").persist()
+
+    _pair_rows: dict[tuple, int] = {}
+
     def edge_table(pi: int, pj: int) -> DataFrame:
+        cond = (
+            (F.col("_s_od") >= p_out[pi])
+            & (F.col("_s_id") >= p_in[pi])
+            & (F.col("_d_od") >= p_out[pj])
+            & (F.col("_d_id") >= p_in[pj])
+        )
         if edge_filter is not None:
-            return edge_filter.filter(
-                (F.col("psrc") == pverts[pi]) & (F.col("pdst") == pverts[pj])
-            ).select("src", "dst")
-        return E
+            cond = cond & (F.col("psrc") == pverts[pi]) & (F.col("pdst") == pverts[pj])
+        return edeg.filter(cond).select("src", "dst")
+
+    def _pair_count(pi: int, pj: int) -> int:
+        key = (
+            (p_out[pi], p_in[pi], p_out[pj], p_in[pj])
+            if edge_filter is None
+            else (pi, pj)
+        )
+        if key not in _pair_rows:
+            _pair_rows[key] = edge_table(pi, pj).count()
+        return _pair_rows[key]
+
+    def _hinted(df: DataFrame, pi: int, pj: int) -> DataFrame:
+        """Extension-join dispatch for the (pi, pj) filtered edge table."""
+        if _pair_count(pi, pj) <= SUBGRAPH_BROADCAST_ROWS:
+            return F.broadcast(df)
+        return df.hint("shuffle_hash")
+
+    def _constraint(df: DataFrame, n_rows: int) -> DataFrame:
+        """Semi/anti-join dispatch: broadcast keeps the wedge fan-out
+        streaming inside the extension stage (see the threshold note)."""
+        if n_rows <= SUBGRAPH_SEMI_BROADCAST_ROWS:
+            return F.broadcast(df)
+        return df.hint("shuffle_hash")
 
     def vert_table(pi: int) -> DataFrame:
         pruned = degs.filter(
@@ -189,26 +256,81 @@ def subgraph_search(
         bwd = [vj for vj in bound if (vj, vi) in pedge_set]  # bound -> vi
         new = f"m{vi}"
 
-        if bwd:
-            anchor = bwd[0]
-            ext = state.join(
-                _sh(edge_table(anchor, vi).select(
+        def _ext_leg(st: DataFrame, kind: str, anchor: int) -> DataFrame:
+            if kind == "b":
+                tbl = _hinted(edge_table(anchor, vi).select(
                     F.col("src").alias(f"m{anchor}"), F.col("dst").alias(new)
-                )),
-                f"m{anchor}",
-            )
-            bwd = bwd[1:]
-        elif fwd:
-            anchor = fwd[0]
-            ext = state.join(
-                _sh(edge_table(vi, anchor).select(
+                ), anchor, vi)
+            else:
+                tbl = _hinted(edge_table(vi, anchor).select(
                     F.col("dst").alias(f"m{anchor}"), F.col("src").alias(new)
-                )),
-                f"m{anchor}",
+                ), vi, anchor)
+            return st.join(tbl, f"m{anchor}")
+
+        def _semi(st: DataFrame, kind: str, vj: int) -> DataFrame:
+            if kind == "b":
+                tbl = _constraint(edge_table(vj, vi).select(
+                    F.col("src").alias(f"m{vj}"), F.col("dst").alias(new)
+                ), _pair_count(vj, vi))
+            else:
+                tbl = _constraint(edge_table(vi, vj).select(
+                    F.col("dst").alias(f"m{vj}"), F.col("src").alias(new)
+                ), _pair_count(vi, vj))
+            return st.join(tbl, [f"m{vj}", new], "left_semi")
+
+        # constraints into the bound set, cheapest filtered table first
+        cons = sorted(
+            [("b", vj, _pair_count(vj, vi)) for vj in bwd]
+            + [("f", vj, _pair_count(vi, vj)) for vj in fwd],
+            key=lambda t: t[2],
+        )
+        if len(cons) >= 2:
+            # PER-ROW min-degree extension (the generalized degree-ordered
+            # orientation that makes the triangles kernel hub-safe): each
+            # state row extends along whichever of its two cheapest
+            # constraint endpoints has the smaller fan-out degree and
+            # semi-probes the other, so the level's intermediate is
+            # Σ min(degA, degB) rows instead of Σ degA — on power-law
+            # graphs this both collapses the wedge blowup (hub×normal
+            # pairs take the normal side) and removes the single-hub
+            # shuffle-partition hot spot that capped scaling (a key k is
+            # chosen for extension only by rows whose OTHER endpoint is
+            # even hotter, so per-key work stays bounded). The split legs
+            # compute identical candidate sets per row (all constraints
+            # hold either way), so the union is exact, not heuristic.
+            (ka, va, _), (kb, vb, _) = cons[0], cons[1]
+            da = degs.select(
+                F.col("vid").alias(f"m{va}"),
+                (F.col("_od") if ka == "b" else F.col("_id")).alias("_dega"),
             )
-            fwd = fwd[1:]
+            db = degs.select(
+                F.col("vid").alias(f"m{vb}"),
+                (F.col("_od") if kb == "b" else F.col("_id")).alias("_degb"),
+            )
+            _deg_hint = (
+                (lambda df: df.hint("shuffle_hash"))
+                if graph.n_vertices > SUBGRAPH_SEMI_BROADCAST_ROWS
+                else F.broadcast
+            )
+            std = (
+                state.join(_deg_hint(da), f"m{va}")
+                .join(_deg_hint(db), f"m{vb}")
+            )
+            sA = std.filter(F.col("_dega") <= F.col("_degb")).drop("_dega", "_degb")
+            sB = std.filter(F.col("_dega") > F.col("_degb")).drop("_dega", "_degb")
+            ext = _semi(_ext_leg(sA, ka, va), kb, vb).unionByName(
+                _semi(_ext_leg(sB, kb, vb), ka, va)
+            )
+            rest = cons[2:]
+        elif cons:
+            kind, anchor, _ = cons[0]
+            ext = _ext_leg(state, kind, anchor)
+            rest = []
         else:
             ext = state.crossJoin(vert_table(vi).select(F.col("vid").alias(new)))
+            rest = []
+        bwd = [vj for knd, vj, _ in rest if knd == "b"]
+        fwd = [vj for knd, vj, _ in rest if knd == "f"]
 
         # candidate vertex must be admissible for this pattern vertex
         if node_filter is not None:
@@ -218,20 +340,22 @@ def subgraph_search(
         # injectivity
         for vj in bound:
             ext = ext.filter(F.col(new) != F.col(f"m{vj}"))
-        # remaining required edges
+        # remaining required edges — streamed probes over the extension's
+        # fan-out (broadcast build below the ceiling: the fan-out is never
+        # shuffled, it dies in the same codegen stage it is born in)
         for vj in bwd:
             ext = ext.join(
-                _sh(edge_table(vj, vi).select(
+                _constraint(edge_table(vj, vi).select(
                     F.col("src").alias(f"m{vj}"), F.col("dst").alias(new)
-                )),
+                ), _pair_count(vj, vi)),
                 [f"m{vj}", new],
                 "left_semi",
             )
         for vj in fwd:
             ext = ext.join(
-                _sh(edge_table(vi, vj).select(
+                _constraint(edge_table(vi, vj).select(
                     F.col("dst").alias(f"m{vj}"), F.col("src").alias(new)
-                )),
+                ), _pair_count(vi, vj)),
                 [f"m{vj}", new],
                 "left_semi",
             )
@@ -240,13 +364,13 @@ def subgraph_search(
             for vj in bound:
                 if (vi, vj) not in pedge_set:
                     ext = ext.join(
-                        _sh(E.select(F.col("src").alias(new), F.col("dst").alias(f"m{vj}"))),
+                        _constraint(E.select(F.col("src").alias(new), F.col("dst").alias(f"m{vj}")), graph.n_edges),
                         [new, f"m{vj}"],
                         "left_anti",
                     )
                 if (vj, vi) not in pedge_set:
                     ext = ext.join(
-                        _sh(E.select(F.col("src").alias(f"m{vj}"), F.col("dst").alias(new))),
+                        _constraint(E.select(F.col("src").alias(f"m{vj}"), F.col("dst").alias(new)), graph.n_edges),
                         [f"m{vj}", new],
                         "left_anti",
                     )
@@ -260,6 +384,7 @@ def subgraph_search(
                 state = state.withColumn(f"m{vj}", F.lit(None).cast("long"))
             break
 
+    edeg.unpersist()
     degs.unpersist()
     E.unpersist()
     out = state.select(*[F.col(f"m{i}").alias(f"g{i}") for i in range(k)])

@@ -195,3 +195,62 @@ def test_tune_pins_aqe_off(spark):
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_subgraph_edge_prefilter_reaches_cached_scan(spark):
+    """The per-level subgraph-search edge table must be a pure filter over
+    the cached degree-augmented edge table — the degree feasibility bounds
+    land on the InMemoryTableScan itself, not above a per-level join
+    (round-3 verdict task 5)."""
+    from arkouda_njit_spark.graph import DiGraph
+
+    g = DiGraph.from_edges(
+        spark, [0, 1, 2, 3, 3, 3], [1, 2, 0, 0, 1, 2]
+    )
+    E = g.edges.select("src", "dst")
+    g_out = E.groupBy("src").count().select(
+        F.col("src").alias("vid"), F.col("count").alias("_od")
+    )
+    g_in = E.groupBy("dst").count().select(
+        F.col("dst").alias("vid"), F.col("count").alias("_id")
+    )
+    degs = (
+        g.vertices.select("vid")
+        .join(g_out, "vid", "left")
+        .join(g_in, "vid", "left")
+        .select(
+            "vid",
+            F.coalesce("_od", F.lit(0)).alias("_od"),
+            F.coalesce("_id", F.lit(0)).alias("_id"),
+        )
+    )
+    edeg = (
+        E.join(degs.select(F.col("vid").alias("src"), F.col("_od").alias("_s_od"),
+                           F.col("_id").alias("_s_id")), "src")
+        .join(degs.select(F.col("vid").alias("dst"), F.col("_od").alias("_d_od"),
+                          F.col("_id").alias("_d_id")), "dst")
+        .persist()
+    )
+    edeg.count()
+    try:
+        level = edeg.filter(
+            (F.col("_s_od") >= 2) & (F.col("_s_id") >= 1)
+            & (F.col("_d_od") >= 1) & (F.col("_d_id") >= 1)
+        ).select("src", "dst")
+        plan = _plan(level)
+        assert "InMemoryTableScan" in plan, plan
+        # the filter sits directly on the cached scan: no Exchange/Join
+        # between the scan and the result (everything below the
+        # InMemoryRelation marker is the cached table's BUILD plan, which
+        # legitimately contains the degree joins)
+        top = plan.split("InMemoryRelation", 1)[0]
+        assert "Exchange" not in top and "Join" not in top, top
+        # simple-mode explain carries the predicate inline on the Filter
+        # node sitting on the scan
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            level.explain()
+        simple_top = buf.getvalue().split("InMemoryRelation", 1)[0]
+        assert "_s_od" in simple_top, simple_top
+    finally:
+        edeg.unpersist()
