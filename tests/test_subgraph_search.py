@@ -177,3 +177,35 @@ def test_attribute_matching(spark):
     assert subgraph_isomorphism(g, h, return_count=True) == 3  # 3 rotations
     embs = {tuple(r) for r in subgraph_isomorphism(g, h).collect()}
     assert all(set(e) == {0, 1, 2} for e in embs)
+
+
+def test_min_degree_split_on_hub_skewed_graph(spark):
+    """The per-row min-degree extension split (round 4) must be exact on a
+    hub-skewed digraph — the shape it exists for. Deterministic hub graph:
+    one hub with edges to/from many spokes plus a sparse ring, checked
+    against networkx for a directed 3-cycle (2 constraints at the closing
+    level: split active) and the reference 4-vertex H (mixed fwd/bwd
+    constraints)."""
+    import random
+
+    rng = random.Random(7)
+    src, dst = [], []
+    for s in range(1, 40):  # hub 0 <-> spokes
+        src += [0, s]
+        dst += [s, 0]
+    for _ in range(60):  # sparse random edges among spokes
+        a, b = rng.randrange(1, 40), rng.randrange(1, 40)
+        if a != b:
+            src.append(a)
+            dst.append(b)
+    g = DiGraph.from_edges(spark, src, dst)
+    for psrc, pdst, mono in [
+        ([0, 1, 2], [1, 2, 0], True),
+        ([0, 1, 2], [1, 2, 0], False),
+        (PSRC, PDST, False),
+    ]:
+        h = DiGraph.from_edges(spark, psrc, pdst)
+        fn = subgraph_monomorphism if mono else subgraph_isomorphism
+        got = fn(g, h, return_count=True)
+        want = _nx_iso_count(src, dst, psrc, pdst, mono=mono)
+        assert got == want, (psrc, pdst, mono, got, want)
