@@ -79,6 +79,12 @@ def main():
         time.sleep(0.5)
     a.wait()
 
+    # Snapshot the pre-crash metrics: run B must keep them as an untouched
+    # prefix (resume reloads them; re-execution from 0 would duplicate).
+    with open(os.path.join(ckpt, "metrics.json")) as f:
+        pre_crash = json.load(f)
+    pre_iters = [m["iteration"] for m in pre_crash]
+
     # Run B: same call, resumes from the last durable epoch.
     b = spawn(ckpt, iters)
     out_b, _ = b.communicate(timeout=900)
@@ -93,15 +99,30 @@ def main():
     ok = result_b == result_c
     metrics_path = os.path.join(ckpt, "metrics.json")
     with open(metrics_path) as f:
-        resumed_metrics = json.load(f)
-    resumed_start = min(m["iteration"] for m in resumed_metrics)
+        final_metrics = json.load(f)
+    final_iters = [m["iteration"] for m in final_metrics]
+    # Evidence of a true mid-algorithm resume: the pre-crash metrics are an
+    # untouched prefix (identical wall times — run B did not redo them), no
+    # iteration appears twice, and the first NEW iteration is exactly
+    # killed_at + 1.
+    prefix_intact = final_metrics[: len(pre_crash)] == pre_crash
+    no_duplicates = len(final_iters) == len(set(final_iters))
+    new_iters = sorted(set(final_iters) - set(pre_iters))
+    resumed_start = new_iters[0] if new_iters else None
+    resumed_ok = (
+        prefix_intact and no_duplicates and resumed_start == killed_at + 1
+    )
 
     print(json.dumps({
         "killed_after_epoch": killed_at,
         "resumed_start_iteration": resumed_start,
+        "pre_crash_prefix_intact": prefix_intact,
+        "no_reexecuted_iterations": no_duplicates,
+        "resumed_mid_algorithm": resumed_ok,
         "resumed_matches_uninterrupted": ok,
         "top5": result_b.removeprefix("RESULT "),
     }))
+    ok = ok and resumed_ok
     shutil.rmtree(work, ignore_errors=True)
     if not ok:
         sys.exit(1)
