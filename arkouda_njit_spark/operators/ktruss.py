@@ -83,6 +83,33 @@ def _support(edges: DataFrame, big: bool = False) -> DataFrame:
     )
 
 
+def _core_edges(edges: DataFrame, c: int, max_rounds: int = 100) -> DataFrame:
+    """Edges of the c-core: iteratively drop edges touching a vertex of
+    degree < c (the reference's degree pre-peeling, TrussMsg.chpl:222-247).
+    Each round is a degree aggregation + two anti-joins — no wedge join —
+    so peeling the (k-1)-core first removes most of a sparse graph's edges
+    at a tiny fraction of a support round's cost (k-truss ⊆ (k-1)-core)."""
+    cur = edges.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        deg = (
+            cur.select(F.col("u").alias("vid"))
+            .unionAll(cur.select(F.col("v").alias("vid")))
+            .groupBy("vid")
+            .agg(F.count("*").alias("deg"))
+        )
+        bad = deg.filter(F.col("deg") < c).select("vid")
+        nxt = (
+            cur.join(bad.withColumnRenamed("vid", "u"), "u", "left_anti")
+            .join(bad.withColumnRenamed("vid", "v"), "v", "left_anti")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == cur.count():
+            return nxt
+        cur = nxt
+    return cur
+
+
 def _truss_edges(
     edges: DataFrame,
     k: int,
@@ -97,8 +124,11 @@ def _truss_edges(
     machinery as PR/CC/LPA: lineage truncation per round, per-round
     (per-partition) metrics, durable parquet epochs + mid-algorithm resume
     when ``checkpoint_dir`` is set (the reference materializes an
-    EdgeDeleted array per round, TrussMsg.chpl:222-617)."""
+    EdgeDeleted array per round, TrussMsg.chpl:222-617). Pre-peels to the
+    (k-1)-core before the first support round."""
     from ..plans.iterate import FixpointLoop
+
+    edges = _core_edges(edges, k - 1, max_rounds=max_rounds)
 
     def step(state: DataFrame, i: int) -> DataFrame:
         return _support(state, big=big).filter(F.col("support") >= k - 2).select("u", "v")

@@ -254,3 +254,51 @@ def test_subgraph_edge_prefilter_reaches_cached_scan(spark):
         assert "_s_od" in simple_top, simple_top
     finally:
         edeg.unpersist()
+
+
+def test_subgraph_dispatch_shape(spark, monkeypatch):
+    """Round-4 dispatch contract: with the extension threshold forced to 0
+    and the constraint ceiling high, the level plan must contain a
+    ShuffledHashJoin for the extension and BroadcastHashJoin LeftSemi for
+    the remaining constraint — the shape that keeps the wedge fan-out
+    streaming instead of materialized to shuffle files."""
+    import importlib
+
+    # the operators package re-exports a FUNCTION named subgraph_search,
+    # which shadows the module on `import ... as`; go through importlib
+    sgs = importlib.import_module("arkouda_njit_spark.operators.subgraph_search")
+    from arkouda_njit_spark import DiGraph
+
+    src = [0, 1, 2, 3, 3, 4, 4, 0]
+    dst = [1, 2, 0, 0, 1, 2, 3, 4]
+    g = DiGraph.from_edges(spark, src, dst)
+    monkeypatch.setattr(sgs, "SUBGRAPH_BROADCAST_ROWS", 0)
+    monkeypatch.setattr(sgs, "SUBGRAPH_SEMI_BROADCAST_ROWS", 10**9)
+    # level states are localCheckpointed (flat plans) before return — spy on
+    # localCheckpoint to capture each level's physical plan pre-materialization
+    from pyspark.sql.classic.dataframe import DataFrame  # Spark 4 runtime class
+
+    captured = []
+    orig = DataFrame.localCheckpoint
+
+    def spy(self, eager=True):
+        captured.append(_plan(self))
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", spy)
+    emb = sgs.subgraph_search(g, [(0, 1), (1, 2), (2, 0)], induced=False)
+    level_plans = [pl for pl in captured if "HashJoin" in pl]
+    assert level_plans, "no join-bearing level plans captured"
+    joined = "\n".join(level_plans)
+    assert "ShuffledHashJoin" in joined, joined
+    assert "BroadcastHashJoin" in joined and "LeftSemi" in joined, joined
+    # and the count is still right (directed 3-cycles x 3 rotations)
+    import networkx as nx
+
+    want = sum(
+        1
+        for _ in nx.algorithms.isomorphism.DiGraphMatcher(
+            nx.DiGraph(list(zip(src, dst))), nx.DiGraph([(0, 1), (1, 2), (2, 0)])
+        ).subgraph_monomorphisms_iter()
+    )
+    assert emb.count() == want
