@@ -116,25 +116,31 @@ def _core_edges(edges: DataFrame, c: int, max_rounds: int = 100) -> DataFrame:
     return cur
 
 
-def _truss_edges(
+def _truss_state(
     edges: DataFrame,
     k: int,
     max_rounds: int = 100,
     checkpoint_dir: str | None = None,
     collect_partition_metrics: bool = False,
     big: bool = False,
+    support_state: DataFrame | None = None,
 ) -> DataFrame:
-    """Surviving (u,v) edge set of the k-truss (support >= k-2 fixpoint).
+    """Fixpoint (u, v, support) state of the k-truss (support >= k-2).
 
     Runs on the shared FixpointLoop, so peeling gets the same north-rule
     machinery as PR/CC/LPA: lineage truncation per round, per-round
     (per-partition) metrics, durable parquet epochs + mid-algorithm resume
     when ``checkpoint_dir`` is set (the reference materializes an
     EdgeDeleted array per round, TrussMsg.chpl:222-617). Pre-peels to the
-    (k-1)-core before the first support round."""
+    (k-1)-core before the first support round.
+
+    ``support_state``: a (u, v, support) fixpoint from a SMALLER k on the
+    same graph — (k+1)-truss ⊆ k-truss and the k-fixpoint's supports are
+    exact triangle counts within its surviving graph, so it is a valid
+    initial state and the full support computation is skipped entirely
+    (max_truss / truss_decomposition thread it through their k sweeps)."""
     from ..plans.iterate import FixpointLoop
 
-    edges = _core_edges(edges, k - 1, max_rounds=max_rounds)
     sh = (lambda df: df.hint("shuffle_hash")) if big else (lambda df: df)
 
     # INCREMENTAL peeling (round 4): full support is computed ONCE; each
@@ -199,7 +205,25 @@ def _truss_edges(
         checkpoint_dir=checkpoint_dir,
         collect_partition_metrics=collect_partition_metrics,
     )
-    return loop.run(_support(edges, big=big)).select("u", "v")
+    if support_state is None:
+        edges = _core_edges(edges, k - 1, max_rounds=max_rounds)
+        support_state = _support(edges, big=big)
+    return loop.run(support_state)
+
+
+def _truss_edges(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 100,
+    checkpoint_dir: str | None = None,
+    collect_partition_metrics: bool = False,
+    big: bool = False,
+) -> DataFrame:
+    """Surviving (u,v) edge set of the k-truss (support >= k-2 fixpoint)."""
+    return _truss_state(
+        edges, k, max_rounds=max_rounds, checkpoint_dir=checkpoint_dir,
+        collect_partition_metrics=collect_partition_metrics, big=big,
+    ).select("u", "v")
 
 
 def k_truss(graph: Graph, k: int, checkpoint_dir: str | None = None) -> DataFrame:
@@ -228,18 +252,21 @@ def max_truss(graph: Graph) -> int:
     if edges.isEmpty():
         return 0
     big = edges.count() >= BIG_EDGE_THRESHOLD
-    max_sup = _support(edges, big=big).agg(F.max("support")).collect()[0][0] or 0
+    sup0 = _support(edges, big=big).localCheckpoint(eager=True)
+    max_sup = sup0.agg(F.max("support")).collect()[0][0] or 0
     if max_sup == 0:
         return 2
     lo, hi = 3, max_sup + 2  # k-truss needs support >= k-2
-    best, best_edges = 2, edges
+    best, best_state = 2, sup0
     while lo <= hi:
         mid = (lo + hi) // 2
-        kept = _truss_edges(best_edges, mid, big=big)
-        if kept.isEmpty():
+        # thread the largest known-feasible fixpoint state: supports are
+        # exact within its surviving graph, so no probe recomputes support
+        state = _truss_state(edges, mid, big=big, support_state=best_state)
+        if state.isEmpty():
             hi = mid - 1
         else:
-            best, best_edges = mid, kept
+            best, best_state = mid, state
             lo = mid + 1
     return best
 
@@ -251,9 +278,11 @@ def truss_decomposition(graph: Graph) -> DataFrame:
     big = edges.count() >= BIG_EDGE_THRESHOLD
     assigned = None  # (u, v, truss)
     cur = edges
+    state = None  # (u, v, support) fixpoint of level k-1, threaded through
     k = 3
     while not cur.isEmpty():
-        kept = _truss_edges(cur, k, big=big)
+        state = _truss_state(cur, k, big=big, support_state=state)
+        kept = state.select("u", "v")
         removed = cur.join(kept, ["u", "v"], "left_anti").withColumn(
             "truss", F.lit(k - 1)
         )
