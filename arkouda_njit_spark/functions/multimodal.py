@@ -6,6 +6,10 @@ Arrow batch shapes). Codec status per path:
 * ``decode="bmp"`` — a REAL, pure-numpy codec for uncompressed 24-bit
   BI_RGB Windows bitmaps (encode + decode + nearest-neighbour resize), no
   external library needed; exercises the full decode→pixels→re-encode path.
+* ``decode="png"`` — a REAL, pure-numpy + stdlib-zlib codec for 8-bit
+  greyscale/RGB/RGBA non-interlaced PNG: chunk walk with CRC checks,
+  DEFLATE via ``zlib``, all five scanline filters (None/Sub/Up/Average/
+  Paeth) on both encode and decode.
 * ``decode="wav"`` — a REAL, pure-numpy codec for PCM-16 RIFF/WAVE audio
   (chunk-walking decode + encode + windowed-RMS features).
 * ``decode="fake"`` — deterministic content-derived stand-in so the
@@ -134,11 +138,16 @@ def extract_features(
             if decode == "real":
                 raise NotImplementedError(
                     "real media decode requires PIL/soundfile/pyav, not present; "
-                    "use decode='bmp'/'wav' (pure-numpy codecs) or decode='fake'"
+                    "use decode='bmp'/'png'/'wav' (pure-numpy codecs) or decode='fake'"
                 )
             if decode == "bmp":
                 feats = [
                     _bmp_feature(bytes(b) if b is not None else b"", dim).tolist()
+                    for b in pdf["data"]
+                ]
+            elif decode == "png":
+                feats = [
+                    _png_feature(bytes(b) if b is not None else b"", dim).tolist()
                     for b in pdf["data"]
                 ]
             elif decode == "wav":
@@ -167,17 +176,17 @@ RESIZE_SCHEMA = "media_id long, kind string, data binary, meta map<string,string
 
 
 def resize_images(media: DataFrame, width: int, height: int, decode: str = "fake") -> DataFrame:
-    """Image resize. ``decode="bmp"`` is the REAL path: decode 24-bit BMP
-    bytes, nearest-neighbour resample, re-encode BMP — all numpy inside the
-    Arrow batch. ``decode="fake"`` passes bytes through and only records the
-    target size in meta (for non-BMP payloads)."""
+    """Image resize. ``decode="bmp"`` / ``decode="png"`` are REAL paths:
+    decode the bytes, nearest-neighbour resample, re-encode the same format
+    — all numpy inside the Arrow batch. ``decode="fake"`` passes bytes
+    through and only records the target size in meta (for other payloads)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decode == "real":
                 raise NotImplementedError(
-                    "real resize of compressed formats requires PIL; "
-                    "use decode='bmp' for uncompressed bitmaps"
+                    "real resize of JPEG/WebP/etc requires PIL; "
+                    "use decode='bmp' or decode='png' (pure-numpy codecs)"
                 )
             metas, datas = [], []
             for m, b in zip(pdf["meta"], pdf["data"]):
@@ -186,6 +195,11 @@ def resize_images(media: DataFrame, width: int, height: int, decode: str = "fake
                 if decode == "bmp":
                     px = bmp_resize_nearest(bmp_decode(bytes(b)), width, height)
                     b = bmp_encode(px)
+                elif decode == "png":
+                    px = png_decode(bytes(b))
+                    grey = px.ndim == 2
+                    px = bmp_resize_nearest(px[:, :, None] if grey else px, width, height)
+                    b = png_encode(px[:, :, 0] if grey else px)
                 metas.append(m)
                 datas.append(b)
             out = pdf.copy()
@@ -243,6 +257,172 @@ def generate_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
         payload.alias("data"),
         F.create_map(F.lit("source"), F.lit("synthetic")).alias("meta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pure-numpy PNG codec (stdlib zlib; 8-bit greyscale/RGB/RGBA, filters 0-4)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(pixels: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
+    """Encode an 8-bit image as PNG. Accepts (h, w) greyscale, (h, w, 3)
+    RGB, or (h, w, 4) RGBA uint8 arrays. ``filter_type`` selects the
+    scanline pre-filter applied to EVERY row (0=None, 1=Sub, 2=Up,
+    3=Average, 4=Paeth) — exposed so tests can exercise each unfilter
+    path in :func:`png_decode` with real encoder output."""
+    import struct
+    import zlib
+
+    if pixels.dtype != np.uint8:
+        raise ValueError("png_encode expects uint8 pixels")
+    if pixels.ndim == 2:
+        color_type, px = 0, pixels[:, :, None]
+    elif pixels.ndim == 3 and pixels.shape[2] == 3:
+        color_type, px = 2, pixels
+    elif pixels.ndim == 3 and pixels.shape[2] == 4:
+        color_type, px = 6, pixels
+    else:
+        raise ValueError("png_encode expects (h,w), (h,w,3) or (h,w,4)")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"unknown PNG filter {filter_type}")
+    h, w, ch = px.shape
+    raw = px.reshape(h, w * ch).astype(np.int64)
+    # per-row filter inputs: a = left pixel, b = row above, c = upper-left
+    left = np.zeros_like(raw)
+    left[:, ch:] = raw[:, :-ch]
+    up = np.zeros_like(raw)
+    up[1:] = raw[:-1]
+    upleft = np.zeros_like(raw)
+    upleft[1:, ch:] = raw[:-1, :-ch]
+    if filter_type == 0:
+        filt = raw
+    elif filter_type == 1:
+        filt = raw - left
+    elif filter_type == 2:
+        filt = raw - up
+    elif filter_type == 3:
+        filt = raw - (left + up) // 2
+    else:  # Paeth
+        filt = raw - _paeth(left, up, upleft)
+    lines = np.concatenate(
+        [np.full((h, 1), filter_type, dtype=np.uint8), (filt & 0xFF).astype(np.uint8)],
+        axis=1,
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(lines.tobytes(), level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG (greyscale / RGB / RGBA) to a
+    uint8 array of shape (h, w), (h, w, 3) or (h, w, 4). Walks the chunk
+    list (multiple IDATs are concatenated, ancillary chunks skipped) and
+    inverts all five scanline filters. CRCs are verified."""
+    import struct
+    import zlib
+
+    if len(data) < 8 or data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG file")
+    pos, ihdr, idat = 8, None, []
+    while pos + 12 <= len(data):
+        size = struct.unpack_from(">I", data, pos)[0]
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + size]
+        crc = struct.unpack_from(">I", data, pos + 8 + size)[0]
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color_type, comp, filt_method, interlace = ihdr
+    if depth != 8 or color_type not in _PNG_CHANNELS or comp != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={color_type}, "
+            f"interlace={interlace}); 8-bit grey/RGB/RGBA non-interlaced only"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    lines = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if lines.size != h * (stride + 1):
+        raise ValueError("PNG pixel data has wrong length")
+    lines = lines.reshape(h, stride + 1)
+    filters, rows = lines[:, 0], lines[:, 1:].astype(np.int64)
+    out = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f, row = filters[y], rows[y]
+        if f == 0:
+            cur = row
+        elif f == 2:
+            cur = (row + prev) & 0xFF
+        else:
+            # Sub/Average/Paeth have an in-row left dependency: recon one
+            # pixel (ch samples) at a time, vectorized across channels
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(0, stride, ch):
+                a = cur[x - ch : x] if x else np.zeros(ch, dtype=np.int64)
+                b = prev[x : x + ch]
+                c = prev[x - ch : x] if x else np.zeros(ch, dtype=np.int64)
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                elif f == 4:
+                    pred = _paeth(a, b, c)
+                else:
+                    raise ValueError(f"unknown PNG filter {f} on row {y}")
+                cur[x : x + ch] = (row[x : x + ch] + pred) & 0xFF
+        out[y] = cur
+        prev = cur
+    px = out.astype(np.uint8).reshape(h, w, ch)
+    return px[:, :, 0] if color_type == 0 else px
+
+
+def _png_feature(data: bytes, dim: int) -> np.ndarray:
+    """REAL image feature from decoded PNG pixels: same grid-folded
+    grayscale pooling as the BMP path, L2-normalized."""
+    px = png_decode(data).astype("float64")
+    gray = px if px.ndim == 2 else px[:, :, :3].mean(axis=2)
+    gray = gray.ravel()
+    cells = np.arange(gray.size) % dim
+    folded = np.bincount(cells, weights=gray, minlength=dim)[:dim]
+    counts = np.bincount(cells, minlength=dim)[:dim]
+    folded = (folded / np.maximum(counts, 1)).astype("float32")
+    norm = np.linalg.norm(folded)
+    return folded / norm if norm > 0 else folded
 
 
 # ---------------------------------------------------------------------------

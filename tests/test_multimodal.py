@@ -155,6 +155,102 @@ class TestBmpCodec:
             assert abs(sum(x * x for x in v) - 1.0) < 1e-5  # L2-normalized
 
 
+class TestPngCodec:
+    """decode='png' is a REAL codec: stdlib-zlib DEFLATE + all 5 filters."""
+
+    def _image(self, h, w, ch=3, seed=7):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if ch == 1 else (h, w, ch)
+        return rng.integers(0, 256, size=shape, dtype=np.uint8)
+
+    def test_round_trip_all_filters_all_colortypes(self):
+        from arkouda_njit_spark.functions import png_decode, png_encode
+
+        for ch in (1, 3, 4):  # grey / RGB / RGBA
+            for h, w in [(1, 1), (3, 5), (16, 16), (7, 13)]:
+                px = self._image(h, w, ch)
+                for filt in range(5):  # None/Sub/Up/Average/Paeth
+                    data = png_encode(px, filter_type=filt)
+                    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+                    back = png_decode(data)
+                    assert back.shape == px.shape
+                    assert np.array_equal(back, px), (ch, h, w, filt)
+
+    def test_filters_compress_smooth_images(self):
+        # a gradient is the canonical case where Sub/Paeth beat filter-0:
+        # proves the filters are really applied, not just tagged
+        from arkouda_njit_spark.functions import png_encode
+
+        g = ((np.arange(64)[:, None] + np.arange(80)[None, :]) % 256).astype(np.uint8)
+        px = np.stack([g, g[::-1], 255 - g], axis=2)
+        sizes = {f: len(png_encode(px, filter_type=f)) for f in range(5)}
+        assert sizes[1] < sizes[0] / 5
+        assert sizes[4] < sizes[0] / 5
+
+    def test_decode_rejects_garbage_and_bad_crc(self):
+        from arkouda_njit_spark.functions import png_decode, png_encode
+
+        with pytest.raises(ValueError):
+            png_decode(b"not a png .................")
+        data = bytearray(png_encode(self._image(4, 4)))
+        data[20] ^= 0xFF  # flip a byte inside IHDR
+        with pytest.raises(ValueError, match="CRC"):
+            png_decode(bytes(data))
+
+    def test_spark_resize_pipeline_png(self, spark):
+        from arkouda_njit_spark.functions import (
+            bmp_resize_nearest,
+            png_decode,
+            png_encode,
+            resize_images,
+        )
+
+        rows = [
+            (i, "image", bytes(png_encode(self._image(10, 14, seed=i), filter_type=4)), None)
+            for i in range(6)
+        ]
+        media = spark.createDataFrame(
+            rows, "media_id long, kind string, data binary, meta map<string,string>"
+        )
+        out = {
+            r["media_id"]: r
+            for r in resize_images(media, 7, 5, decode="png").collect()
+        }
+        assert len(out) == 6
+        for i in range(6):
+            px = png_decode(bytes(out[i]["data"]))
+            assert px.shape == (5, 7, 3)
+            ref = bmp_resize_nearest(self._image(10, 14, seed=i), 7, 5)
+            assert np.array_equal(px, ref)
+
+    def test_png_feature_extraction(self, spark):
+        from arkouda_njit_spark.functions import extract_features, png_encode
+
+        rows = [
+            (i, "image", bytes(png_encode(self._image(8, 8, seed=i))), None)
+            for i in range(4)
+        ]
+        media = spark.createDataFrame(
+            rows, "media_id long, kind string, data binary, meta map<string,string>"
+        )
+        feats = extract_features(media, dim=8, decode="png").collect()
+        assert len(feats) == 4
+        for r in feats:
+            v = r["feature"]
+            assert len(v) == 8
+            assert abs(sum(x * x for x in v) - 1.0) < 1e-5
+
+    def test_png_bmp_feature_parity(self):
+        # same pixels through either container yield the same feature
+        from arkouda_njit_spark.functions import bmp_encode, png_encode
+        from arkouda_njit_spark.functions.multimodal import _bmp_feature, _png_feature
+
+        px = self._image(12, 9, seed=3)
+        a = _bmp_feature(bmp_encode(px), 16)
+        b = _png_feature(png_encode(px, filter_type=2), 16)
+        assert np.allclose(a, b)
+
+
 class TestWavCodec:
     """decode='wav' is a REAL codec: pure-numpy PCM-16 RIFF/WAVE."""
 
