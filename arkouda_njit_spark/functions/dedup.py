@@ -297,3 +297,64 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_repeats: int = 2,
+    sep: str = "\n\n",
+    keep: str = "first",
+    out: str = "text_dedup",
+) -> DataFrame:
+    """Paragraph-level exact dedup across the WHOLE corpus (the C4-style
+    line/paragraph filter): any ``sep``-delimited paragraph whose
+    whitespace-normalized form occurs at least ``min_repeats`` times
+    corpus-wide is removed from every document — except, with
+    ``keep="first"``, its single earliest occurrence (smallest
+    ``(doc_id, position)``); ``keep="none"`` drops all occurrences.
+
+    Returns the input rows plus ``out`` (the rebuilt text) and
+    ``n_paras_removed``. Documents whose every paragraph is removed stay
+    in the output with an empty string.
+
+    Scale shape: explode is narrow; one hash-groupBy on the paragraph
+    digest (digests only — paragraph text never rides the count shuffle),
+    one digest-keyed join back, one groupBy(doc) to reassemble. No windows
+    over the corpus, no skew hazard beyond the digest groupBy (uniform by
+    construction of md5). Reference analogue: none — this is the
+    training-data-pipeline mandate, same family as exact_duplicates."""
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("pos", "para"),
+    ).withColumn("pkey", F.md5(F.trim(F.regexp_replace("para", r"\s+", " "))))
+    stats = paras.groupBy("pkey").agg(
+        F.count("*").alias("n_occ"),
+        F.min(F.struct(id_col, "pos")).alias("first_occ"),
+    )
+    flagged = paras.join(stats, "pkey").withColumn(
+        "keep_para",
+        (F.col("n_occ") < min_repeats)
+        | (
+            F.lit(keep == "first")
+            & (F.struct(id_col, "pos") == F.col("first_occ"))
+        ),
+    )
+    rebuilt = flagged.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep_para"), F.struct("pos", "para"))
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+        ).alias(out),
+        F.sum(F.when(~F.col("keep_para"), 1).otherwise(0)).alias("n_paras_removed"),
+    )
+    return df.join(rebuilt, id_col, "left").na.fill({out: "", "n_paras_removed": 0})

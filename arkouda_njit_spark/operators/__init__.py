@@ -2,6 +2,7 @@ from .bfs import bfs_layers
 from .connected_components import component_sizes, connected_components
 from .diameter import diameter
 from .jaccard import jaccard_coefficients
+from .kcore import core_decomposition, k_core
 from .ktruss import k_truss, max_truss, truss_decomposition
 from .label_propagation import label_propagation
 from .pagerank import pagerank
@@ -27,6 +28,8 @@ __all__ = [
     "component_sizes",
     "diameter",
     "jaccard_coefficients",
+    "core_decomposition",
+    "k_core",
     "k_truss",
     "label_propagation",
     "max_truss",

@@ -1,0 +1,77 @@
+"""k-core: vertex-degree peeling and full core decomposition.
+
+The reference ships the degree-peel as the *pre-stage* of its truss
+kernels (/root/reference/arachne/server/TrussMsg.chpl:222-247, the
+"remove degree < k-1 vertices" loop) but never exposes it as a public
+operator; this module promotes it to one, because core numbers are the
+standard cheap structure filter a link-graph pipeline runs before the
+expensive truss/clique work.
+
+Spark formulation: a peel round is one degree aggregation plus two
+anti-joins on the vertex id — no wedge join, no triangle enumeration —
+so each round is a single shuffle on a uniform key. ``core_decomposition``
+peels levels monotonically (the k-core is a subgraph of the (k-1)-core),
+reusing the surviving edge set between levels, so total work is bounded by
+the degeneracy, not kmax * |E|. Every level's survivor set is
+localCheckpoint-ed: lineage stays one round deep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import Graph
+from .ktruss import _core_edges
+from .triangles import _undirected_simple_edges
+
+
+def k_core(graph: Graph, k: int) -> DataFrame:
+    """Vertices of the k-core: the maximal subgraph where every vertex has
+    degree >= k (over the simple undirected view). Returns (vid) rows.
+
+    k <= 0 returns every vertex (the 0-core is the whole graph, isolated
+    vertices included)."""
+    if k <= 0:
+        return graph.vertices.select("vid")
+    surv = _core_edges(_undirected_simple_edges(graph), k)
+    return (
+        surv.select(F.col("u").alias("vid"))
+        .unionAll(surv.select(F.col("v").alias("vid")))
+        .distinct()
+    )
+
+
+def core_decomposition(graph: Graph, max_k: int = 1000) -> DataFrame:
+    """Per-vertex core number: (vid, core) for every vertex, where ``core``
+    is the largest k such that the vertex is in the k-core. Isolated
+    vertices get core 0.
+
+    Levels are peeled in increasing k over the *surviving* edge set — a
+    vertex present in the (k-1)-core but absent from the k-core has core
+    number k-1. The loop ends when no edges survive; ``max_k`` is a
+    runaway bound far above any web graph's degeneracy."""
+    assigned = graph.vertices.select("vid", F.lit(0).alias("core"))
+    cur = _undirected_simple_edges(graph).localCheckpoint(eager=True)
+    k = 1
+    while cur.count() > 0 and k <= max_k:
+        nxt = _core_edges(cur, k)
+        in_core = (
+            nxt.select(F.col("u").alias("vid"))
+            .unionAll(nxt.select(F.col("v").alias("vid")))
+            .distinct()
+        )
+        # survivors of level k have core >= k; the rest keep their label
+        assigned = (
+            assigned.join(in_core.withColumn("_in", F.lit(True)), "vid", "left")
+            .select(
+                "vid",
+                F.when(F.col("_in"), F.lit(k)).otherwise(F.col("core")).alias("core"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur.unpersist()
+        cur = nxt
+        k += 1
+    cur.unpersist()
+    return assigned

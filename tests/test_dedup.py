@@ -143,3 +143,101 @@ def test_minhash_near_duplicates_short_docs_verify_with_fallback(spark):
         for r in minhash_near_duplicates(docs, threshold=0.7).collect()
     }
     assert pairs == {(0, 1): 1.0}
+
+
+class TestParagraphDedup:
+    """C4-style corpus-wide paragraph dedup: remove any paragraph that
+    repeats across the corpus, keeping (by default) its first occurrence."""
+
+    def _docs(self, spark):
+        boiler = "Subscribe to our newsletter"
+        rows = [
+            (0, f"unique intro zero\n\n{boiler}\n\nunique body zero"),
+            (1, f"{boiler}\n\nunique body one"),
+            (2, "all original content here\n\nnothing repeated"),
+            (3, f"unique three\n\n{boiler}"),
+            (4, boiler),  # document that is ONLY boilerplate
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    @staticmethod
+    def _oracle(rows, min_repeats=2, keep="first"):
+        """Pure-python replay: normalized-paragraph counts, then rebuild."""
+        import re
+        from collections import Counter
+
+        def norm(p):
+            return re.sub(r"\s+", " ", p).strip()
+
+        paras = [(d, i, p) for d, t in rows for i, p in enumerate(t.split("\n\n"))]
+        counts = Counter(norm(p) for _, _, p in paras)
+        first = {}
+        for d, i, p in sorted(paras):
+            first.setdefault(norm(p), (d, i))
+        out = {}
+        for d, t in rows:
+            kept = [
+                p
+                for i, p in enumerate(t.split("\n\n"))
+                if counts[norm(p)] < min_repeats
+                or (keep == "first" and first[norm(p)] == (d, i))
+            ]
+            out[d] = "\n\n".join(kept)
+        return out
+
+    def test_keep_first_matches_oracle(self, spark):
+        from arkouda_njit_spark.functions import paragraph_dedup
+
+        rows = [(r["doc_id"], r["text"]) for r in self._docs(spark).collect()]
+        got = {
+            r["doc_id"]: r["text_dedup"]
+            for r in paragraph_dedup(self._docs(spark)).collect()
+        }
+        assert got == self._oracle(rows)
+        # the first occurrence (doc 0) kept its boilerplate, later docs lost it
+        assert "Subscribe" in got[0]
+        assert "Subscribe" not in got[1]
+        assert got[4] == ""  # boilerplate-only doc survives as empty text
+
+    def test_keep_none_drops_all_occurrences(self, spark):
+        from arkouda_njit_spark.functions import paragraph_dedup
+
+        rows = [(r["doc_id"], r["text"]) for r in self._docs(spark).collect()]
+        got = {
+            r["doc_id"]: r["text_dedup"]
+            for r in paragraph_dedup(self._docs(spark), keep="none").collect()
+        }
+        assert got == self._oracle(rows, keep="none")
+        assert all("Subscribe" not in t for t in got.values())
+
+    def test_removed_counts_and_row_preservation(self, spark):
+        from arkouda_njit_spark.functions import paragraph_dedup
+
+        out = paragraph_dedup(self._docs(spark))
+        removed = {r["doc_id"]: r["n_paras_removed"] for r in out.collect()}
+        assert removed == {0: 0, 1: 1, 2: 0, 3: 1, 4: 1}
+        assert out.count() == 5  # no document row is ever dropped
+
+    def test_whitespace_normalization_joins_groups(self, spark):
+        from arkouda_njit_spark.functions import paragraph_dedup
+
+        docs = spark.createDataFrame(
+            [(0, "hello   world"), (1, "hello world"), (2, " hello\tworld ")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["text_dedup"] for r in paragraph_dedup(docs).collect()
+        }
+        # all three normalize to the same paragraph -> only doc 0 keeps it
+        assert out[0] == "hello   world" and out[1] == "" and out[2] == ""
+
+    def test_partition_invariance(self, spark):
+        from arkouda_njit_spark.functions import paragraph_dedup
+
+        docs = self._docs(spark)
+        a = {r["doc_id"]: r["text_dedup"] for r in paragraph_dedup(docs).collect()}
+        b = {
+            r["doc_id"]: r["text_dedup"]
+            for r in paragraph_dedup(docs.repartition(7)).collect()
+        }
+        assert a == b
