@@ -97,6 +97,40 @@ spark.stop()
 """
 
 
+PARADEDUP_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from arkouda_njit_spark.session import get_spark
+from arkouda_njit_spark.functions import paragraph_dedup
+
+cpus = int(sys.argv[1])
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+n = %(n_docs)d
+# 6 paragraphs/doc: two drawn from small corpus-wide pools (heavy repeats,
+# the boilerplate a real crawl carries), four unique to the document
+pool = lambda k, m: F.md5(F.pmod(F.xxhash64(F.col("id"), F.lit(k)), F.lit(m)).cast("string"))
+uniq = lambda k: F.md5(F.concat(F.col("id").cast("string"), F.lit(":" + str(k))))
+paras = F.array(pool(1, 1000), uniq(1), uniq(2), pool(2, 500), uniq(3), uniq(4))
+docs = spark.range(n).select(F.col("id").alias("doc_id"),
+                             F.array_join(paras, "\n\n").alias("text")).persist()
+docs.count()
+paragraph_dedup(docs.limit(20000)).agg(F.sum("n_paras_removed")).collect()  # JIT warmup
+t0 = time.time()
+out = paragraph_dedup(docs)
+removed = out.agg(F.sum("n_paras_removed").alias("rm"), F.count("*").alias("n")).collect()[0]
+wall = time.time() - t0
+assert removed["n"] == n
+rows = out.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+print(json.dumps({"cpus": cpus, "wall_sec": wall, "units": n,
+                  "throughput": n / wall, "iters_per_hour": None,
+                  "paras_removed": removed["rm"],
+                  "partition_rows": {str(r["pid"]): r["count"] for r in rows}}))
+spark.stop()
+"""
+
+
 WEBPIPE_WORKER = r"""
 import json, sys, time
 sys.path.insert(0, %(repo)r)
@@ -381,6 +415,12 @@ JOBS = {
         MINHASH_WORKER,
         {"repo": REPO, "n_docs": N_DOCS},
         f"minhash8_{N_DOCS}docs",
+        "docs_per_sec",
+    ),
+    "paradedup": (
+        PARADEDUP_WORKER,
+        {"repo": REPO, "n_docs": N_DOCS},
+        f"paragraph_dedup_{N_DOCS}docs",
         "docs_per_sec",
     ),
     "webpipeline": (

@@ -254,3 +254,81 @@ class TestLegacyGraphFile:
         # all vids still a dense 0..n-1 permutation
         vids = sorted(r["vid"] for r in g.vertices.collect())
         assert vids == list(range(5))
+
+
+class TestWarc:
+    """WARC source/sink: Common Crawl's on-disk format, stdlib gzip only."""
+
+    def test_framing_round_trip_with_crlf_bodies(self):
+        from arkouda_njit_spark.sources.warc import (
+            _gzip_members,
+            _parse_record,
+            warc_encode,
+        )
+
+        recs = [
+            ("https://a.example/p1", "2024-01-01T00:00:01Z", b"<html><p>hi</p></html>"),
+            # body containing the record separator: Content-Length framing
+            # must win over delimiter scanning
+            ("https://b.example/p2", "2024-01-01T00:00:02Z", b"x\r\n\r\ny"),
+            ("https://c.example/p3", "2024-01-01T00:00:03Z", b""),
+        ]
+        data = warc_encode(recs)
+        assert [_parse_record(m) for m in _gzip_members(data)] == recs
+        # archives concatenate (the property CC relies on)
+        assert [_parse_record(m) for m in _gzip_members(data + data)] == recs + recs
+
+    def test_non_response_records_skipped(self, spark, tmp_path):
+        import gzip
+
+        from arkouda_njit_spark.sources.warc import read_warc, warc_encode
+
+        info = gzip.compress(
+            b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nabcd\r\n\r\n",
+            mtime=0,
+        )
+        body = warc_encode(
+            [("https://a.example/x", "2024-01-01T00:00:01Z", b"<html><p>t</p></html>")]
+        )
+        (tmp_path / "mixed.warc.gz").write_bytes(info + body)
+        rows = read_warc(spark, str(tmp_path)).collect()
+        assert len(rows) == 1
+        assert rows[0]["url"] == "https://a.example/x"
+        assert rows[0]["text"] == "t"
+
+    def test_spark_round_trip_preserves_pages_table(self, spark, tmp_path):
+        """generate_pages -> write_warc -> read_warc reproduces the canonical
+        pages table: byte-identical html per url (the input_hint invariant),
+        equal extracted text, equal timestamps."""
+        from arkouda_njit_spark.sources import generate_pages
+        from arkouda_njit_spark.sources.warc import read_warc, write_warc
+
+        pages = generate_pages(spark, n_pages=120, links_per_page=5, seed=42)
+        manifest = write_warc(pages.repartition(4), str(tmp_path / "w")).collect()
+        assert sum(r["n_records"] for r in manifest) == 120
+        assert all(r["path"].endswith(".warc.gz") for r in manifest)
+
+        back = read_warc(spark, str(tmp_path / "w"))
+        a = {
+            r["url"]: (bytes(r["html"]), r["warc_ts"])
+            for r in pages.select("url", "html", "warc_ts").collect()
+        }
+        b = {
+            r["url"]: (bytes(r["html"]), r["warc_ts"])
+            for r in back.select("url", "html", "warc_ts").collect()
+        }
+        assert a == b
+
+    def test_web_graph_from_warc_equals_direct(self, spark, tmp_path):
+        """The graph built from WARC-ingested pages is identical to the graph
+        built from the in-memory pages table."""
+        from arkouda_njit_spark.sources import build_web_graph, generate_pages
+        from arkouda_njit_spark.sources.warc import read_warc, write_warc
+
+        pages = generate_pages(spark, n_pages=150, links_per_page=6, seed=7)
+        write_warc(pages, str(tmp_path / "w")).collect()
+        g1 = build_web_graph(pages)
+        g2 = build_web_graph(read_warc(spark, str(tmp_path / "w")))
+        e1 = sorted(map(tuple, g1.edge_list().collect()))
+        e2 = sorted(map(tuple, g2.edge_list().collect()))
+        assert e1 == e2
