@@ -133,6 +133,118 @@ def gopher_quality_flags(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+def _max_run(sorted_arr: Column) -> Column:
+    """(most frequent element, its count) of a SORTED array via one fold —
+    equal elements are adjacent, so the mode is the longest run. Pure
+    higher-order-function expression: stays in whole-stage codegen."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit("").alias("best_el"),
+    )
+
+    def step(acc, x):
+        cont = acc["prev"].isNotNull() & (x == acc["prev"])
+        run = F.when(cont, acc["run"] + 1).otherwise(F.lit(1))
+        better = run > acc["best"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["best_el"]).alias("best_el"),
+        )
+
+    return F.aggregate(
+        sorted_arr,
+        init,
+        step,
+        lambda acc: F.struct(acc["best_el"].alias("el"), acc["best"].alias("n")),
+    )
+
+
+def _dup_run_chars(sorted_arr: Column) -> Column:
+    """Total characters inside elements whose value occurs >= 2 times in a
+    SORTED array (every occurrence counted), via one fold."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).cast("long").alias("dup_chars"),
+    )
+
+    def flush(acc):
+        # on leaving a run: if it repeated, all its occurrences count
+        return F.when(
+            acc["run"] >= 2, acc["dup_chars"] + acc["run"] * F.length(acc["prev"])
+        ).otherwise(acc["dup_chars"])
+
+    def step(acc, x):
+        cont = acc["prev"].isNotNull() & (x == acc["prev"])
+        return F.struct(
+            x.alias("prev"),
+            F.when(cont, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(cont, acc["dup_chars"]).otherwise(flush(acc)).alias("dup_chars"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, flush)
+
+
+def repetition_signals(
+    df: DataFrame, col: str = "text", ngram_sizes: tuple[int, ...] = (2, 3, 4)
+) -> DataFrame:
+    """Gopher-style WITHIN-document repetition signals (Rae et al. 2021
+    §A1.1 — the other half of :func:`gopher_quality_flags`' shape rules),
+    as pure column expressions (array sort + one fold each; no UDF, no
+    shuffle):
+
+      * ``dup_line_frac``      — duplicated (non-blank, trimmed) lines /
+        lines: boilerplate lists and chat logs repeat lines verbatim
+      * ``dup_line_char_frac`` — characters inside those duplicated lines /
+        total line characters
+      * ``top_{n}gram_char_frac`` (per n in ``ngram_sizes``) — characters
+        covered by every occurrence of the single most frequent word
+        n-gram / total characters, 0.0 when no n-gram repeats: catches
+        "spam spam spam ..." pages that line-level signals miss
+
+    Complements :func:`arkouda_njit_spark.functions.dedup.paragraph_dedup`
+    (corpus-wide) with the per-document repetition view: this one is
+    embarrassingly parallel and runs in the same codegen stage as the
+    other quality expressions."""
+    c = F.col(col)
+    lines = F.filter(
+        F.transform(F.split(c, r"\n", -1), lambda ln: F.trim(ln)),
+        lambda ln: F.length(ln) > 0,
+    )
+    n_lines = F.size(lines)
+    n_line_chars = F.aggregate(
+        F.transform(lines, lambda ln: F.length(ln).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    sorted_lines = F.array_sort(lines)
+    dup_lines = n_lines - F.size(F.array_distinct(lines))
+    out = df.withColumn(
+        "dup_line_frac",
+        F.when(n_lines > 0, dup_lines / n_lines).otherwise(F.lit(0.0)),
+    ).withColumn(
+        "dup_line_char_frac",
+        F.when(
+            n_line_chars > 0, _dup_run_chars(sorted_lines) / n_line_chars
+        ).otherwise(F.lit(0.0)),
+    )
+    n_chars = F.length(c).cast("long")
+    for n in ngram_sizes:
+        top = _max_run(F.array_sort(shingles(col, n)))
+        covered = F.when(
+            top["n"] >= 2, top["n"].cast("long") * F.length(top["el"])
+        ).otherwise(F.lit(0))
+        out = out.withColumn(
+            f"top_{n}gram_char_frac",
+            F.when(n_chars > 0, covered / n_chars).otherwise(F.lit(0.0)),
+        )
+    return out
+
+
 def shingles(col: str | Column, n: int = 3) -> Column:
     """Word n-gram shingles as strings (empty for docs shorter than n)."""
     t = tokens(col)

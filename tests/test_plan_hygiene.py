@@ -302,3 +302,17 @@ def test_subgraph_dispatch_shape(spark, monkeypatch):
         ).subgraph_monomorphisms_iter()
     )
     assert emb.count() == want
+
+
+def test_repetition_signals_single_stage_no_exchange(spark):
+    """Within-doc repetition signals are pure column expressions: the whole
+    computation must stay in one codegen stage — any Exchange here would
+    mean a per-doc metric somehow shuffles the corpus."""
+    from arkouda_njit_spark.functions import repetition_signals
+
+    docs = spark.createDataFrame(
+        [(i, f"line a\nline a\nword{i} " * 3) for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = _plan(repetition_signals(docs))
+    assert "Exchange" not in plan, plan

@@ -128,3 +128,76 @@ def test_gopher_quality_flags_each_rule(spark):
     assert not rows[5]["flag_alpha_words"]
     for i in range(1, 6):
         assert not rows[i]["gopher_keep"]
+
+
+class TestRepetitionSignals:
+    """Gopher within-doc repetition rules vs a pure-python replay."""
+
+    @staticmethod
+    def _oracle(text, ngram_sizes=(2, 3, 4)):
+        from collections import Counter
+
+        lines = [ln.strip() for ln in text.split("\n") if ln.strip()]
+        lc = Counter(lines)
+        n_lines = len(lines)
+        dup_lines = sum(v - 1 for v in lc.values())
+        line_chars = sum(len(ln) for ln in lines)
+        dup_chars = sum(len(k) * v for k, v in lc.items() if v >= 2)
+        out = {
+            "dup_line_frac": dup_lines / n_lines if n_lines else 0.0,
+            "dup_line_char_frac": dup_chars / line_chars if line_chars else 0.0,
+        }
+        toks = text.split()
+        for n in ngram_sizes:
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            gc = Counter(grams)
+            top, cnt = max(gc.items(), key=lambda kv: kv[1]) if gc else ("", 0)
+            # ties: spark's fold keeps the FIRST max in sorted order; for the
+            # oracle, any max has the same (count, len) only when lengths tie,
+            # so compare covered chars of the best-by-(count, then sorted())
+            best = sorted(g for g, c in gc.items() if c == cnt)
+            covered = cnt * len(best[0]) if cnt >= 2 else 0
+            out[f"top_{n}gram_char_frac"] = covered / len(text) if text else 0.0
+        return out
+
+    def _check(self, spark, text, keys=("dup_line_frac", "dup_line_char_frac")):
+        from arkouda_njit_spark.functions import repetition_signals
+
+        row = repetition_signals(
+            spark.createDataFrame([(0, text)], "doc_id long, text string")
+        ).collect()[0]
+        want = self._oracle(text)
+        for k in keys:
+            assert abs(row[k] - want[k]) < 1e-9, (k, row[k], want[k])
+        return row, want
+
+    def test_no_repetition(self, spark):
+        row, _ = self._check(spark, "alpha beta\ngamma delta\nepsilon zeta")
+        assert row["dup_line_frac"] == 0.0
+        assert row["top_2gram_char_frac"] == 0.0
+
+    def test_duplicate_lines(self, spark):
+        text = "buy now\ncontent one\nbuy now\ncontent two\nbuy now\n\n"
+        row, want = self._check(spark, text)
+        assert abs(row["dup_line_frac"] - 2 / 5) < 1e-9
+        # 3 occurrences x 7 chars of "buy now" over total line chars
+        assert abs(row["dup_line_char_frac"] - want["dup_line_char_frac"]) < 1e-9
+
+    def test_spam_ngram(self, spark):
+        text = "spam ham " * 50 + "real content at last"
+        row, want = self._check(spark, text)
+        for n in (2, 3, 4):
+            k = f"top_{n}gram_char_frac"
+            assert abs(row[k] - want[k]) < 1e-9, k
+        assert row["top_2gram_char_frac"] > 0.5  # the page is mostly one 2-gram
+
+    def test_short_and_empty_docs(self, spark):
+        for text in ("", "one", "one two"):
+            row, want = self._check(spark, text)
+            for n in (2, 3, 4):
+                k = f"top_{n}gram_char_frac"
+                assert abs(row[k] - want[k]) < 1e-9, (text, k)
+
+    def test_blank_lines_ignored(self, spark):
+        row, _ = self._check(spark, "a\n\n\n\na\n\n")
+        assert row["dup_line_frac"] == 0.5  # two non-blank 'a' lines
