@@ -10,6 +10,10 @@ Arrow batch shapes). Codec status per path:
   greyscale/RGB/RGBA non-interlaced PNG: chunk walk with CRC checks,
   DEFLATE via ``zlib``, all five scanline filters (None/Sub/Up/Average/
   Paeth) on both encode and decode.
+* ``decode="gif"`` — a REAL, pure-python GIF89a codec: genuine LZW
+  (variable-width codes, table clears, KwKwK case, deferred-clear
+  tolerant) with palette encode/decode; validated against the canonical
+  minimal GIF byte sequence, not just its own round trip.
 * ``decode="wav"`` — a REAL, pure-numpy codec for PCM-16 RIFF/WAVE audio
   (chunk-walking decode + encode + windowed-RMS features).
 * ``decode="fake"`` — deterministic content-derived stand-in so the
@@ -150,6 +154,11 @@ def extract_features(
                     _png_feature(bytes(b) if b is not None else b"", dim).tolist()
                     for b in pdf["data"]
                 ]
+            elif decode == "gif":
+                feats = [
+                    _gif_feature(bytes(b) if b is not None else b"", dim).tolist()
+                    for b in pdf["data"]
+                ]
             elif decode == "wav":
                 feats = [
                     _wav_feature(bytes(b) if b is not None else b"", dim).tolist()
@@ -200,6 +209,10 @@ def resize_images(media: DataFrame, width: int, height: int, decode: str = "fake
                     grey = px.ndim == 2
                     px = bmp_resize_nearest(px[:, :, None] if grey else px, width, height)
                     b = png_encode(px[:, :, 0] if grey else px)
+                elif decode == "gif":
+                    # nearest-neighbour keeps pixels a subset of the source
+                    # palette, so the resized frame re-encodes losslessly
+                    b = gif_encode(bmp_resize_nearest(gif_decode(bytes(b)), width, height))
                 metas.append(m)
                 datas.append(b)
             out = pdf.copy()
@@ -417,6 +430,204 @@ def _png_feature(data: bytes, dim: int) -> np.ndarray:
     px = png_decode(data).astype("float64")
     gray = px if px.ndim == 2 else px[:, :, :3].mean(axis=2)
     gray = gray.ravel()
+    cells = np.arange(gray.size) % dim
+    folded = np.bincount(cells, weights=gray, minlength=dim)[:dim]
+    counts = np.bincount(cells, minlength=dim)[:dim]
+    folded = (folded / np.maximum(counts, 1)).astype("float32")
+    norm = np.linalg.norm(folded)
+    return folded / norm if norm > 0 else folded
+
+
+# ---------------------------------------------------------------------------
+# pure-python GIF codec (GIF89a, 8-bit palette, real LZW, non-interlaced)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    """LSB-first variable-width code packer (GIF's LZW bit order)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF LZW: dict-building compression with CLEAR emitted on table
+    overflow (4096) and the standard (late) width-change convention."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    bw = _BitWriter()
+
+    def reset():
+        return {(i,): i for i in range(clear)}, end + 1, min_code_size + 1
+
+    table, next_code, width = reset()
+    bw.write(clear, width)
+    buf: tuple = ()
+    for px in indices:
+        cand = buf + (int(px),)
+        if cand in table:
+            buf = cand
+            continue
+        bw.write(table[buf], width)
+        table[cand] = next_code
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        next_code += 1
+        buf = (int(px),)
+        if next_code > 4095:
+            bw.write(clear, width)
+            table, next_code, width = reset()
+    if buf:
+        bw.write(table[buf], width)
+    bw.write(end, width)
+    return bw.flush()
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list:
+    """Inverse of :func:`_lzw_encode`; matches any standard GIF encoder
+    (handles the code==len(table) self-reference case)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out: list[int] = []
+    # a stream is not required to start with CLEAR: begin in post-clear state
+    table: list[tuple] = [(i,) for i in range(clear)] + [(), ()]
+    width = min_code_size + 1
+    prev: tuple | None = None
+    pos = 0  # bit position
+    total = len(data) * 8
+    while pos + width <= total:
+        byte, off = divmod(pos, 8)
+        chunk = int.from_bytes(data[byte : byte + 4], "little")
+        code = (chunk >> off) & ((1 << width) - 1)
+        pos += width
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"LZW code {code} beyond table size {len(table)}")
+        out.extend(entry)
+        # table is capped at 4096: encoders using a deferred clear keep
+        # emitting existing codes at width 12 without new entries
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    raise ValueError("LZW stream ended without an end-of-information code")
+
+
+def gif_encode(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a single-frame GIF89a.
+
+    GIF is palette-based: the image may contain at most 256 distinct
+    colors (raises otherwise — quantization is a modeling choice this
+    codec refuses to make silently). Real LZW compression, one global
+    color table, no interlace."""
+    import struct
+
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("gif_encode expects an (h, w, 3) uint8 array")
+    h, w, _ = pixels.shape
+    flat = pixels.reshape(-1, 3)
+    palette, indices = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"GIF supports <=256 colors, image has {len(palette)}")
+    # palette size must be a power of two >= 2
+    bits = max(1, int(np.ceil(np.log2(max(len(palette), 2)))))
+    pal = np.zeros((1 << bits, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    mcs = max(2, bits)  # LZW minimum code size (spec floor of 2)
+    hdr = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
+    img = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    lzw = _lzw_encode(indices, mcs)
+    blocks = bytearray([mcs])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)
+    return hdr + pal.tobytes() + img + bytes(blocks) + b"\x3b"
+
+
+def gif_decode(data: bytes) -> np.ndarray:
+    """Decode the first frame of a non-interlaced GIF87a/89a into an
+    (h, w, 3) uint8 RGB array. Walks extension blocks, honors local color
+    tables, ignores transparency (renders the palette color)."""
+    import struct
+
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF file")
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _l, _t, iw, ih, ipk = struct.unpack_from("<HHHHB", data, pos + 1)
+            pos += 10
+            pal = gct
+            if ipk & 0x80:
+                n = 2 << (ipk & 0x07)
+                pal = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if ipk & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            if pal is None:
+                raise ValueError("GIF image has no color table")
+            mcs = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                lzw.extend(data[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = _lzw_decode(bytes(lzw), mcs)
+            if len(idx) < iw * ih:
+                raise ValueError(f"GIF pixel data short: {len(idx)} < {iw * ih}")
+            return pal[np.asarray(idx[: iw * ih], dtype=np.int64)].reshape(ih, iw, 3)
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x} at {pos}")
+    raise ValueError("GIF contains no image data")
+
+
+def _gif_feature(data: bytes, dim: int) -> np.ndarray:
+    """REAL image feature from decoded GIF pixels (same pooling as BMP/PNG)."""
+    px = gif_decode(data).astype("float64")
+    gray = px.mean(axis=2).ravel()
     cells = np.arange(gray.size) % dim
     folded = np.bincount(cells, weights=gray, minlength=dim)[:dim]
     counts = np.bincount(cells, minlength=dim)[:dim]

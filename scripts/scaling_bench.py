@@ -97,6 +97,37 @@ spark.stop()
 """
 
 
+KCORE_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from arkouda_njit_spark.session import get_spark
+from arkouda_njit_spark import Graph
+from arkouda_njit_spark.operators import k_core
+from arkouda_njit_spark.sources.generators import rmat_graph
+
+cpus = int(sys.argv[1])
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+raw = rmat_graph(spark, scale=%(kc_scale)d, edge_factor=%(kc_ef)d, seed=42)
+g = Graph.from_edges(spark, raw.withColumn("weight", F.lit(1.0)))
+edges = g.edges.count()
+small = Graph.from_edges(spark, rmat_graph(spark, scale=13, edge_factor=4, seed=7)
+                         .withColumn("weight", F.lit(1.0)))
+k_core(small, %(kc_k)d).count()  # JIT warmup on a small graph
+t0 = time.time()
+core = k_core(g, %(kc_k)d)
+n_core = core.count()
+wall = time.time() - t0
+rows = core.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+print(json.dumps({"cpus": cpus, "wall_sec": wall, "units": edges,
+                  "throughput": edges / wall, "iters_per_hour": None,
+                  "core_vertices": n_core,
+                  "partition_rows": {str(r["pid"]): r["count"] for r in rows}}))
+spark.stop()
+"""
+
+
 PARADEDUP_WORKER = r"""
 import json, sys, time
 sys.path.insert(0, %(repo)r)
@@ -416,6 +447,18 @@ JOBS = {
         {"repo": REPO, "n_docs": N_DOCS},
         f"minhash8_{N_DOCS}docs",
         "docs_per_sec",
+    ),
+    "kcore": (
+        KCORE_WORKER,
+        {
+            "repo": REPO,
+            "kc_scale": int(os.environ.get("SPARK_GRAFT_SCALING_KC_SCALE", "20")),
+            "kc_ef": int(os.environ.get("SPARK_GRAFT_SCALING_KC_EF", "16")),
+            "kc_k": int(os.environ.get("SPARK_GRAFT_SCALING_KC_K", "25")),
+        },
+        f"kcore{os.environ.get('SPARK_GRAFT_SCALING_KC_K', '25')}"
+        f"_rmat{os.environ.get('SPARK_GRAFT_SCALING_KC_SCALE', '20')}",
+        "edges_per_sec",
     ),
     "paradedup": (
         PARADEDUP_WORKER,
