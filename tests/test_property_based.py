@@ -128,3 +128,58 @@ def test_pagerank_random(spark, edges):
     vid_to_label = {r["vid"]: r["label"] for r in g.vertices.collect()}
     for r in pagerank(g).collect():
         assert r["rank"] == pytest.approx(expected[vid_to_label[r["vid"]]], abs=1e-6)
+
+
+# --- codec round-trip properties (pure python, no Spark session needed) ---
+
+_img_shapes = st.tuples(st.integers(1, 24), st.integers(1, 24))
+
+
+@given(shape=_img_shapes, ch=st.sampled_from([1, 3, 4]),
+       filt=st.integers(0, 4), seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=40, deadline=None)
+def test_png_round_trip_random(shape, ch, filt, seed):
+    import numpy as np
+
+    from arkouda_njit_spark.functions import png_decode, png_encode
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=shape if ch == 1 else (*shape, ch), dtype=np.uint8)
+    assert np.array_equal(png_decode(png_encode(px, filter_type=filt)), px)
+
+
+@given(shape=_img_shapes, ncol=st.integers(1, 256), seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=40, deadline=None)
+def test_gif_round_trip_random(shape, ncol, seed):
+    import numpy as np
+
+    from arkouda_njit_spark.functions import gif_decode, gif_encode
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+    px = pal[rng.integers(0, ncol, size=shape)]
+    assert np.array_equal(gif_decode(gif_encode(px)), px)
+
+
+@given(idx=st.lists(st.integers(0, 15), min_size=0, max_size=3000),
+       mcs=st.integers(4, 8))
+@settings(max_examples=40, deadline=None)
+def test_gif_lzw_round_trip_random(idx, mcs):
+    from arkouda_njit_spark.functions.multimodal import _lzw_decode, _lzw_encode
+
+    assert _lzw_decode(_lzw_encode(idx, mcs), mcs) == idx
+
+
+@given(n=st.integers(0, 2000), ch=st.sampled_from([1, 2]),
+       seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=30, deadline=None)
+def test_wav_round_trip_random(n, ch, seed):
+    import numpy as np
+
+    from arkouda_njit_spark.functions import wav_decode, wav_encode
+
+    rng = np.random.default_rng(seed)
+    sig = rng.uniform(-1, 1, size=(n, ch))
+    back, sr = wav_decode(wav_encode(sig, sample_rate=8000))
+    assert sr == 8000 and back.shape == (n, ch)
+    assert np.abs(back - sig).max() <= 1 / 32767 + 1e-12 if n else True
