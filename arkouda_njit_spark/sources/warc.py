@@ -123,12 +123,13 @@ def _parse_record(raw: bytes) -> tuple[str, str, bytes] | None:
 # ---------------------------------------------------------------------------
 
 
-def write_warc(pages: DataFrame, directory: str) -> DataFrame:
+def write_warc(pages: DataFrame, directory: str, prefix: str = "part") -> DataFrame:
     """Distributed WARC sink: each Arrow batch of the (url, warc_ts, html)
     columns becomes one ``part-<partition>-<batch>.warc.gz`` under
     ``directory`` (executor-local write — at scale, point this at a
     shared filesystem mount). Returns the manifest as a DataFrame; the
-    write happens when the manifest is materialized."""
+    write happens when the manifest is materialized. Distinct ``prefix``
+    values keep repeated writes into one directory from colliding."""
     import os
 
     os.makedirs(directory, exist_ok=True)
@@ -147,7 +148,7 @@ def write_warc(pages: DataFrame, directory: str) -> DataFrame:
                 for u, ts, h in zip(pdf["url"], pdf["warc_ts"], pdf["html"])
             ]
             data = warc_encode(recs)
-            path = os.path.join(directory, f"part-{pid:05d}-{i:03d}.warc.gz")
+            path = os.path.join(directory, f"{prefix}-{pid:05d}-{i:03d}.warc.gz")
             with open(path, "wb") as f:
                 f.write(data)
             yield pd.DataFrame(
@@ -159,15 +160,38 @@ def write_warc(pages: DataFrame, directory: str) -> DataFrame:
     )
 
 
+def _glob(path: str) -> str:
+    return path if path.endswith(".warc.gz") else path.rstrip("/") + "/*.warc.gz"
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Read ``.warc.gz`` archives into the canonical pages table
     ``(url, warc_ts, html, text, lang)``."""
+    raw = spark.read.format("binaryFile").load(_glob(path))
+    return _pages_from_archives(raw)
+
+
+def stream_warc(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming variant of :func:`read_warc`: new ``.warc.gz`` archives
+    landing under ``path`` become micro-batches of the same canonical
+    pages table — feed the result to
+    :func:`arkouda_njit_spark.streaming.streaming_page_ingest` for the
+    re-crawl-aware link state. (File sources are exactly-once: each
+    archive is processed in one micro-batch, tracked by the stream's
+    checkpoint.)"""
+    reader = spark.readStream.format("binaryFile")
+    # streaming file sources require an explicit schema (binaryFile's is fixed)
+    reader = reader.schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return _pages_from_archives(reader.load(_glob(path)))
+
+
+def _pages_from_archives(raw: DataFrame) -> DataFrame:
     from ..functions.text import language_id
     from .pages import _extract_text_udf
-
-    raw = spark.read.format("binaryFile").load(
-        path if path.endswith(".warc.gz") else path.rstrip("/") + "/*.warc.gz"
-    )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -344,3 +344,34 @@ def test_streaming_page_snapshot_survives_state_gc(spark, tmp_path):
     # old state dir is gone; the snapshot must still answer
     assert g.edges.count() == 2
     assert ing.snapshot_graph(num_partitions=2).edges.count() == 1  # b->a only
+
+
+def test_streaming_warc_ingest_matches_batch(spark, tmp_path):
+    """WARC archives landing in a directory stream into the same link state
+    the batch path computes: stream_warc -> streaming_page_ingest over two
+    micro-batches == build_web_graph over the full pages table."""
+    from arkouda_njit_spark.sources import build_web_graph, generate_pages, stream_warc
+    from arkouda_njit_spark.sources.warc import write_warc
+    from arkouda_njit_spark.streaming import StreamingPageIngestor, streaming_page_ingest
+
+    pages = generate_pages(spark, n_pages=100, links_per_page=5, seed=3)
+    src = tmp_path / "warc_in"
+    write_warc(
+        pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 0).coalesce(1),
+        str(src),
+        prefix="a",
+    ).collect()
+    write_warc(
+        pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 1).coalesce(1),
+        str(src),
+        prefix="b",
+    ).collect()
+    stream = stream_warc(spark, str(src), max_files_per_trigger=1)
+    q = streaming_page_ingest(stream, str(tmp_path / "state"), str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    ing = StreamingPageIngestor(spark, str(tmp_path / "state"))
+    got = ing.snapshot_graph(num_partitions=4)
+    want = build_web_graph(pages, num_partitions=4)
+    assert sorted(map(tuple, got.edges.select("src", "dst", "weight").collect())) == sorted(
+        map(tuple, want.edges.select("src", "dst", "weight").collect())
+    )
