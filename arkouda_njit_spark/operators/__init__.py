@@ -1,4 +1,5 @@
 from .bfs import bfs_layers
+from .clustering import clustering_coefficients, degree_assortativity, transitivity
 from .connected_components import component_sizes, connected_components
 from .diameter import diameter
 from .jaccard import jaccard_coefficients
@@ -26,6 +27,9 @@ __all__ = [
     "bfs_layers",
     "connected_components",
     "component_sizes",
+    "clustering_coefficients",
+    "degree_assortativity",
+    "transitivity",
     "diameter",
     "jaccard_coefficients",
     "core_decomposition",
