@@ -1,0 +1,154 @@
+"""Strongly connected components of a DiGraph (coloring / FW-BW method).
+
+The web graph's bow-tie structure (one giant SCC, IN/OUT fringes, tendrils)
+is THE classical link-graph decomposition; the reference ships only the
+undirected CC family, so this is a beyond-reference operator built from
+the engine's existing multi-root machinery.
+
+Algorithm (the standard distributed "coloring" scheme, multi-pivot):
+
+  1. **trim pass** — vertices with no in-edges or no out-edges inside the
+     remaining subgraph are singleton SCCs; peel a few cheap rounds.
+  2. **forward max-propagation** — color(v) = max vid that reaches v
+     (hash-max to fixpoint along edge direction; same loop shape as the
+     undirected CC's hash-min exchange).
+  3. **backward sweep, all pivots at once** — every v with
+     color(v) == v is a pivot; the SCC of pivot c is {v : color(v) == c
+     and v reaches c}. One :func:`multi_source_bfs` over the REVERSED
+     color-preserving edge set finds all of them simultaneously.
+  4. remove found SCCs, repeat on the remainder.
+
+Scale notes: every stage is the engine's standard iterative join shape
+(per-round localCheckpoint, uniform hash keys). Web graphs converge in a
+handful of outer rounds (giant SCC + fringe); long directed chains
+degrade to many cheap rounds — inherent to every label-propagation SCC
+scheme, and the trim pass absorbs the common DAG-tail case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import DiGraph
+from .bfs import multi_source_bfs
+
+
+def _trim(edges: DataFrame, verts: DataFrame, rounds: int = 3):
+    """Peel vertices with in-degree or out-degree 0 inside the subgraph:
+    each is a singleton SCC. Returns (edges, verts, trimmed) — trimmed as
+    (vid, scc) rows with scc = vid."""
+    trimmed = None
+    for _ in range(rounds):
+        srcs = edges.select(F.col("src").alias("vid")).distinct()
+        dsts = edges.select(F.col("dst").alias("vid")).distinct()
+        core = srcs.join(dsts, "vid")  # has both an in- and an out-edge
+        gone = verts.join(core, "vid", "left_anti").localCheckpoint(eager=True)
+        if gone.isEmpty():
+            break
+        gone_scc = gone.select("vid", F.col("vid").alias("scc"))
+        trimmed = gone_scc if trimmed is None else trimmed.unionAll(gone_scc)
+        verts = verts.join(gone, "vid", "left_anti").localCheckpoint(eager=True)
+        edges = (
+            edges.join(verts.withColumnRenamed("vid", "src"), "src", "left_semi")
+            .join(verts.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return edges, verts, trimmed
+
+
+def _forward_colors(edges: DataFrame, verts: DataFrame, max_rounds: int = 200) -> DataFrame:
+    """(vid, color) with color = max vid of any forward-ancestor (incl. v)."""
+    color = verts.select("vid", F.col("vid").alias("color")).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        pushed = (
+            edges.join(color.withColumnRenamed("vid", "src"), "src")
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.max("color").alias("in_color"))
+        )
+        nxt = (
+            color.join(pushed, "vid", "left")
+            .select(
+                "vid",
+                F.greatest("color", F.coalesce("in_color", F.lit(-1))).alias("color"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.join(color.withColumnRenamed("color", "old"), "vid")
+            .filter(F.col("color") != F.col("old"))
+            .isEmpty()
+        )
+        color = nxt
+        if changed:
+            break
+    return color
+
+
+def strongly_connected_components(graph: DiGraph, max_rounds: int = 100) -> DataFrame:
+    """(vid, scc) for every vertex; ``scc`` is the SMALLEST vid in the
+    component (deterministic, partition-invariant labels)."""
+    edges = (
+        graph.edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    verts = graph.vertices.select("vid").localCheckpoint(eager=True)
+    assigned: DataFrame | None = None  # (vid, scc_pivot)
+
+    for _ in range(max_rounds):
+        if verts.isEmpty():
+            break
+        edges, verts, trimmed = _trim(edges, verts)
+        if trimmed is not None:
+            assigned = trimmed if assigned is None else assigned.unionAll(trimmed)
+        if verts.isEmpty():
+            break
+        color = _forward_colors(edges, verts)
+        # reversed, color-preserving edges: walking them stays inside one
+        # color class, so each pivot's BFS is confined to its candidate set
+        cs = color.select(F.col("vid").alias("src"), F.col("color").alias("c_src"))
+        cd = color.select(F.col("vid").alias("dst"), F.col("color").alias("c_dst"))
+        rev = (
+            edges.join(cs, "src")
+            .join(cd, "dst")
+            .filter(F.col("c_src") == F.col("c_dst"))
+            .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        pivots = color.filter(F.col("vid") == F.col("color")).select(
+            F.col("vid").alias("root"), "vid"
+        )
+        reached = multi_source_bfs(rev, pivots)
+        found = reached.select("vid", F.col("root").alias("scc")).localCheckpoint(
+            eager=True
+        )
+        assigned = found if assigned is None else assigned.unionAll(found)
+        verts = verts.join(found, "vid", "left_anti").localCheckpoint(eager=True)
+        edges = (
+            edges.join(verts.withColumnRenamed("vid", "src"), "src", "left_semi")
+            .join(verts.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+
+    if assigned is None:
+        return graph.vertices.select("vid", F.col("vid").alias("scc"))
+    # relabel each component by its smallest member vid
+    relabel = assigned.groupBy("scc").agg(F.min("vid").alias("scc_min"))
+    return (
+        assigned.join(relabel, "scc")
+        .select("vid", F.col("scc_min").alias("scc"))
+    )
+
+
+def scc_sizes(graph: DiGraph) -> DataFrame:
+    """One row per SCC: (scc, size), descending by size — the bow-tie
+    histogram input."""
+    return (
+        strongly_connected_components(graph)
+        .groupBy("scc")
+        .agg(F.count("*").alias("size"))
+        .orderBy(F.desc("size"), "scc")
+    )

@@ -1,0 +1,76 @@
+"""Strongly connected components vs nx.strongly_connected_components."""
+
+import networkx as nx
+import pytest
+
+from arkouda_njit_spark import DiGraph
+from arkouda_njit_spark.operators import scc_sizes, strongly_connected_components
+
+
+def _partition(graph):
+    label_of = {r["vid"]: r["label"] for r in graph.vertices.collect()}
+    comps = {}
+    for r in strongly_connected_components(graph).collect():
+        comps.setdefault(r["scc"], set()).add(label_of[r["vid"]])
+    return set(map(frozenset, comps.values()))
+
+
+def _nx_partition(nxg):
+    return set(map(frozenset, nx.strongly_connected_components(nxg)))
+
+
+def _check(spark, edges):
+    g = DiGraph.from_edges(spark, [u for u, v in edges], [v for u, v in edges])
+    nxg = nx.DiGraph(edges)
+    nxg.remove_edges_from(nx.selfloop_edges(nxg))
+    nxg.remove_nodes_from(list(nx.isolates(nxg)))
+    assert _partition(g) == _nx_partition(nxg)
+
+
+def test_two_cycles_and_bridge(spark):
+    _check(spark, [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3)])
+
+
+def test_dag_is_all_singletons(spark):
+    _check(spark, [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)])
+
+
+def test_chain_of_cycles(spark):
+    edges = []
+    for k in range(5):
+        b = 10 * k
+        edges += [(b, b + 1), (b + 1, b + 2), (b + 2, b)]
+        if k:
+            edges.append((b - 10, b))  # one-way bridge between cycles
+    _check(spark, edges)
+
+
+def test_random_digraphs(spark):
+    import random
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(90)})
+        edges = [(u, v) for u, v in edges if u != v]
+        _check(spark, edges)
+
+
+def test_bowtie_shape(spark):
+    # IN -> giant SCC -> OUT: the classic web structure
+    core = [(10, 11), (11, 12), (12, 13), (13, 10)]
+    in_part = [(0, 10), (1, 10), (2, 0)]
+    out_part = [(12, 20), (20, 21)]
+    g = DiGraph.from_edges(
+        spark,
+        [u for u, v in core + in_part + out_part],
+        [v for u, v in core + in_part + out_part],
+    )
+    sizes = scc_sizes(g).collect()
+    assert sizes[0]["size"] == 4  # the giant SCC
+    assert all(r["size"] == 1 for r in sizes[1:])
+    label_of = {r["vid"]: r["label"] for r in g.vertices.collect()}
+    scc_of = {
+        label_of[r["vid"]]: r["scc"]
+        for r in strongly_connected_components(g).collect()
+    }
+    assert len({scc_of[v] for v in (10, 11, 12, 13)}) == 1
