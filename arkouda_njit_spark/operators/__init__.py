@@ -7,7 +7,7 @@ from .kcore import core_decomposition, k_core
 from .ktruss import k_truss, max_truss, truss_decomposition
 from .label_propagation import label_propagation
 from .pagerank import pagerank
-from .scc import scc_sizes, strongly_connected_components
+from .scc import bowtie_decomposition, scc_sizes, strongly_connected_components
 from .squares import squares
 from .triangle_centrality import triangle_centrality
 from .subgraph_search import (
@@ -39,6 +39,7 @@ __all__ = [
     "label_propagation",
     "max_truss",
     "pagerank",
+    "bowtie_decomposition",
     "scc_sizes",
     "squares",
     "strongly_connected_components",

@@ -152,3 +152,89 @@ def scc_sizes(graph: DiGraph) -> DataFrame:
         .agg(F.count("*").alias("size"))
         .orderBy(F.desc("size"), "scc")
     )
+
+
+BOWTIE_REGIONS = ("SCC", "IN", "OUT", "TENDRIL_IN", "TENDRIL_OUT", "TUBE", "DISC")
+
+
+def bowtie_decomposition(graph: DiGraph) -> DataFrame:
+    """Broder-style bow-tie map of a directed web graph: (vid, region) with
+
+      * ``SCC``          — the largest strongly connected component
+      * ``IN``           — reaches the SCC, not reachable from it
+      * ``OUT``          — reachable from the SCC, does not reach it
+      * ``TUBE``         — on an IN→OUT path that bypasses the SCC
+        (reachable from IN and reaching OUT, in neither IN nor OUT)
+      * ``TENDRIL_IN``   — reachable from IN only
+      * ``TENDRIL_OUT``  — reaching OUT only
+      * ``DISC``         — everything else (disconnected from the core)
+
+    Three multi-source BFS sweeps total (forward/backward from the SCC,
+    then forward-from-IN / backward-from-OUT for the fringe), each the
+    engine's one-action-per-level loop."""
+    scc = strongly_connected_components(graph).persist()
+    giant = (
+        scc.groupBy("scc").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "scc")
+        .limit(1)
+    )
+    core = scc.join(giant.select("scc"), "scc").select("vid").persist()
+    edges = graph.edges.select("src", "dst")
+
+    def reach(edge_tbl: DataFrame, from_set: DataFrame) -> DataFrame:
+        srcs = from_set.select(F.lit(0).alias("root"), "vid")
+        return multi_source_bfs(edge_tbl, srcs).select("vid").distinct()
+
+    fwd = reach(edges, core).persist()  # core + OUT + ...
+    rev = reach(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")), core).persist()
+    out_set = fwd.join(core, "vid", "left_anti").persist()
+    in_set = rev.join(core, "vid", "left_anti").persist()
+    rest = (
+        graph.vertices.select("vid")
+        .join(fwd, "vid", "left_anti")
+        .join(rev, "vid", "left_anti")
+        .persist()
+    )
+    # fringe sweeps restricted to `rest`: tendrils and tubes never cross the core
+    rest_edges = (
+        edges.join(rest.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+    )  # edges INTO rest; sources can be IN or rest
+    from_in = reach(
+        rest_edges.join(
+            rest.unionAll(in_set).withColumnRenamed("vid", "src"), "src", "left_semi"
+        ),
+        in_set,
+    ).join(rest, "vid", "left_semi").persist()
+    rest_edges_rev = (
+        edges.join(rest.withColumnRenamed("vid", "src"), "src", "left_semi")
+    )
+    to_out = reach(
+        rest_edges_rev.join(
+            rest.unionAll(out_set).withColumnRenamed("vid", "dst"), "dst", "left_semi"
+        ).select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        out_set,
+    ).join(rest, "vid", "left_semi").persist()
+
+    region = (
+        graph.vertices.select("vid")
+        .join(core.withColumn("_core", F.lit(True)), "vid", "left")
+        .join(in_set.withColumn("_in", F.lit(True)), "vid", "left")
+        .join(out_set.withColumn("_out", F.lit(True)), "vid", "left")
+        .join(from_in.withColumn("_fin", F.lit(True)), "vid", "left")
+        .join(to_out.withColumn("_tout", F.lit(True)), "vid", "left")
+        .select(
+            "vid",
+            F.when(F.col("_core"), F.lit("SCC"))
+            .when(F.col("_in"), F.lit("IN"))
+            .when(F.col("_out"), F.lit("OUT"))
+            .when(F.col("_fin") & F.col("_tout"), F.lit("TUBE"))
+            .when(F.col("_fin"), F.lit("TENDRIL_IN"))
+            .when(F.col("_tout"), F.lit("TENDRIL_OUT"))
+            .otherwise(F.lit("DISC"))
+            .alias("region"),
+        )
+    )
+    out = region.localCheckpoint(eager=True)
+    for h in (scc, core, fwd, rev, out_set, in_set, rest, from_in, to_out):
+        h.unpersist()
+    return out

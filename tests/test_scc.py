@@ -74,3 +74,81 @@ def test_bowtie_shape(spark):
         for r in strongly_connected_components(g).collect()
     }
     assert len({scc_of[v] for v in (10, 11, 12, 13)}) == 1
+
+
+class TestBowtie:
+    @staticmethod
+    def _oracle(edges):
+        """Pure-nx Broder classification."""
+        nxg = nx.DiGraph(edges)
+        nxg.remove_edges_from(nx.selfloop_edges(nxg))
+        giant = max(nx.strongly_connected_components(nxg), key=lambda s: (len(s), -min(s)))
+        fwd = set()
+        for s in giant:
+            fwd |= nx.descendants(nxg, s)
+        fwd |= giant
+        rev = set()
+        for s in giant:
+            rev |= nx.ancestors(nxg, s)
+        rev |= giant
+        in_set, out_set = rev - giant, fwd - giant
+        rest = set(nxg) - fwd - rev
+        sub = nxg.subgraph(rest | in_set)
+        from_in = set()
+        for s in in_set:
+            from_in |= nx.descendants(sub, s)
+        from_in &= rest
+        sub2 = nxg.subgraph(rest | out_set)
+        to_out = set()
+        for s in out_set:
+            to_out |= nx.ancestors(sub2, s)
+        to_out &= rest
+        regions = {}
+        for v in nxg:
+            if v in giant:
+                regions[v] = "SCC"
+            elif v in in_set:
+                regions[v] = "IN"
+            elif v in out_set:
+                regions[v] = "OUT"
+            elif v in from_in and v in to_out:
+                regions[v] = "TUBE"
+            elif v in from_in:
+                regions[v] = "TENDRIL_IN"
+            elif v in to_out:
+                regions[v] = "TENDRIL_OUT"
+            else:
+                regions[v] = "DISC"
+        return regions
+
+    def _check(self, spark, edges):
+        from arkouda_njit_spark.operators import bowtie_decomposition
+
+        g = DiGraph.from_edges(spark, [u for u, v in edges], [v for u, v in edges])
+        label_of = {r["vid"]: r["label"] for r in g.vertices.collect()}
+        got = {
+            label_of[r["vid"]]: r["region"]
+            for r in bowtie_decomposition(g).collect()
+        }
+        assert got == self._oracle(edges)
+
+    def test_full_bowtie_fixture(self, spark):
+        core = [(10, 11), (11, 12), (12, 13), (13, 10)]
+        in_part = [(0, 10), (1, 0)]          # IN chain
+        out_part = [(12, 20), (20, 21)]      # OUT chain
+        tendril_in = [(0, 30)]               # hangs off IN, never reaches core
+        tendril_out = [(31, 20)]             # feeds OUT, unreachable from IN
+        tube = [(1, 40), (40, 20)]           # IN -> tube -> OUT, bypasses core
+        disc = [(50, 51)]                    # separate island
+        self._check(
+            spark, core + in_part + out_part + tendril_in + tendril_out + tube + disc
+        )
+
+    def test_random_digraphs_bowtie(self, spark):
+        import random
+
+        for seed in (5, 6):
+            rng = random.Random(seed)
+            edges = list({(rng.randrange(25), rng.randrange(25)) for _ in range(70)})
+            edges = [(u, v) for u, v in edges if u != v]
+            self._check(spark, edges)
