@@ -2,6 +2,7 @@ from .bfs import bfs_layers
 from .clustering import clustering_coefficients, degree_assortativity, transitivity
 from .connected_components import component_sizes, connected_components
 from .diameter import diameter
+from .hits import hits
 from .jaccard import jaccard_coefficients
 from .kcore import core_decomposition, k_core
 from .ktruss import k_truss, max_truss, truss_decomposition
@@ -32,6 +33,7 @@ __all__ = [
     "degree_assortativity",
     "transitivity",
     "diameter",
+    "hits",
     "jaccard_coefficients",
     "core_decomposition",
     "k_core",
