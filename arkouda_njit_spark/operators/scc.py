@@ -59,8 +59,14 @@ def _trim(edges: DataFrame, verts: DataFrame, rounds: int = 3):
 
 
 def _forward_colors(edges: DataFrame, verts: DataFrame, max_rounds: int = 200) -> DataFrame:
-    """(vid, color) with color = max vid of any forward-ancestor (incl. v)."""
+    """(vid, color) with color = max vid of any forward-ancestor (incl. v).
+
+    ONE action per round: colors only ever increase, so Σ color is
+    strictly monotone until the fixpoint — an unchanged sum IS
+    convergence, and the sum job doubles as the materializing action for
+    the round's checkpoint (no separate changed-rows join)."""
     color = verts.select("vid", F.col("vid").alias("color")).localCheckpoint(eager=True)
+    prev_sum = None
     for _ in range(max_rounds):
         pushed = (
             edges.join(color.withColumnRenamed("vid", "src"), "src")
@@ -73,16 +79,13 @@ def _forward_colors(edges: DataFrame, verts: DataFrame, max_rounds: int = 200) -
                 "vid",
                 F.greatest("color", F.coalesce("in_color", F.lit(-1))).alias("color"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            nxt.join(color.withColumnRenamed("color", "old"), "vid")
-            .filter(F.col("color") != F.col("old"))
-            .isEmpty()
-        )
+        cur_sum = nxt.agg(F.sum("color")).collect()[0][0]
         color = nxt
-        if changed:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return color
 
 

@@ -97,6 +97,34 @@ spark.stop()
 """
 
 
+SCC_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from arkouda_njit_spark.session import get_spark
+from arkouda_njit_spark.operators import scc_sizes
+from arkouda_njit_spark.sources.pages import build_web_graph, generate_pages
+
+cpus = int(sys.argv[1])
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+n = %(n_pages)d
+g = build_web_graph(generate_pages(spark, n_pages=n, links_per_page=8, seed=42))
+edges = g.edges.count()
+small = build_web_graph(generate_pages(spark, n_pages=3000, links_per_page=6, seed=7))
+scc_sizes(small).collect()  # JIT warmup
+t0 = time.time()
+sizes = scc_sizes(g).collect()
+wall = time.time() - t0
+assert sum(r["size"] for r in sizes) == g.n_vertices
+print(json.dumps({"cpus": cpus, "wall_sec": wall, "units": edges,
+                  "throughput": edges / wall, "iters_per_hour": None,
+                  "n_sccs": len(sizes), "giant": sizes[0]["size"],
+                  "partition_rows": {}}))
+spark.stop()
+"""
+
+
 KCORE_WORKER = r"""
 import json, sys, time
 sys.path.insert(0, %(repo)r)
@@ -447,6 +475,15 @@ JOBS = {
         {"repo": REPO, "n_docs": N_DOCS},
         f"minhash8_{N_DOCS}docs",
         "docs_per_sec",
+    ),
+    "scc": (
+        SCC_WORKER,
+        {
+            "repo": REPO,
+            "n_pages": int(os.environ.get("SPARK_GRAFT_SCALING_SCC_PAGES", "400000")),
+        },
+        f"scc_web{os.environ.get('SPARK_GRAFT_SCALING_SCC_PAGES', '400000')}pages",
+        "edges_per_sec",
     ),
     "kcore": (
         KCORE_WORKER,
