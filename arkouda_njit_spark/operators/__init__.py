@@ -7,7 +7,7 @@ from .jaccard import jaccard_coefficients
 from .kcore import core_decomposition, k_core
 from .ktruss import k_truss, max_truss, truss_decomposition
 from .label_propagation import label_propagation
-from .pagerank import pagerank
+from .pagerank import pagerank, personalized_pagerank
 from .scc import bowtie_decomposition, scc_sizes, strongly_connected_components
 from .squares import squares
 from .triangle_centrality import triangle_centrality
@@ -41,6 +41,7 @@ __all__ = [
     "label_propagation",
     "max_truss",
     "pagerank",
+    "personalized_pagerank",
     "bowtie_decomposition",
     "scc_sizes",
     "squares",

@@ -137,3 +137,97 @@ def pagerank(
         trans.unpersist()
         dangling.unpersist()
     return result
+
+
+def personalized_pagerank(
+    graph: Graph,
+    personalization: dict,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_iterations: int = 100,
+    weight: str | None = None,
+    checkpoint_dir: str | None = None,
+    prepared=None,
+) -> DataFrame:
+    """Random-walk-with-restart PageRank: the teleport lands on the seed
+    set instead of uniformly — ``personalization`` maps original vertex
+    LABELS to non-negative weights (normalized to sum 1), exactly
+    ``nx.pagerank(personalization=...)``. Dangling mass also restarts at
+    the seeds. Returns (vid, rank).
+
+    Same plan shape as :func:`pagerank` (cached transition table, one
+    exchange per iteration); the teleport vector rides a broadcast join
+    of the |seeds|-row table — tiny by construction."""
+    n = graph.n_vertices
+    if n == 0:
+        return graph.vertices.select("vid", F.lit(0.0).alias("rank"))
+    total = float(sum(personalization.values()))
+    if total <= 0:
+        raise ValueError("personalization weights must sum to a positive value")
+    spark = graph.spark
+    seed_tbl = spark.createDataFrame(
+        [(int(k), float(v) / total) for k, v in personalization.items() if v],
+        "label long, t double",
+    )
+    tvec = (
+        graph.vertices.join(seed_tbl, "label")
+        .select("vid", "t")
+        .persist()
+    )
+    if tvec.count() != seed_tbl.count():
+        tvec.unpersist()
+        raise ValueError("personalization refers to labels not in the graph")
+
+    owns_prepared = prepared is None
+    trans, dangling, has_dangling = prepared or prepare_pagerank(graph, weight)
+    init = graph.vertices.join(tvec, "vid", "left").select(
+        "vid", F.coalesce("t", F.lit(0.0)).alias("rank")
+    )
+    zeros = graph.vertices.select("vid", F.lit(0.0).alias("c"))
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        contribs = (
+            trans.join(
+                state_join_side(state.withColumnRenamed("vid", "src"), n), "src"
+            )
+            .select(F.col("dst").alias("vid"), (F.col("p") * F.col("rank")).alias("c"))
+            .unionAll(zeros)
+            .groupBy("vid")
+            .agg(F.sum("c").alias("c"))
+        )
+        with_t = contribs.join(F.broadcast(tvec), "vid", "left").select(
+            "vid", "c", F.coalesce("t", F.lit(0.0)).alias("t")
+        )
+        if has_dangling:
+            mass = F.broadcast(
+                state.join(dangling, "vid", "left_semi").agg(
+                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+                )
+            )
+            return with_t.crossJoin(mass).select(
+                "vid",
+                (
+                    F.lit(1.0 - alpha) * F.col("t")
+                    + F.lit(alpha) * F.col("_dm") * F.col("t")
+                    + F.lit(alpha) * F.col("c")
+                ).alias("rank"),
+            )
+        return with_t.select(
+            "vid",
+            (F.lit(1.0 - alpha) * F.col("t") + F.lit(alpha) * F.col("c")).alias("rank"),
+        )
+
+    loop = FixpointLoop(
+        "personalized_pagerank",
+        step,
+        convergence=l1_diff("vid", "rank") if tol > 0 else None,
+        max_iterations=max_iterations,
+        tol=n * tol,
+        checkpoint_dir=checkpoint_dir,
+    )
+    result = loop.run(init)
+    if owns_prepared:
+        trans.unpersist()
+        dangling.unpersist()
+    tvec.unpersist()
+    return result

@@ -38,3 +38,73 @@ def test_pagerank_weighted(spark):
     wgt = [1.0, 2.0, 3.0, 4.0]
     graph = Graph.from_edges(spark, src, dst, wgt)
     _compare(graph, nx_graph(src, dst, wgt), weight="weight")
+
+
+class TestPersonalizedPagerank:
+    @staticmethod
+    def _python_ppr(nxg, pers, alpha=0.85, max_iter=200, tol=1e-12, weight=None):
+        nodes = list(nxg.nodes())
+        total = sum(pers.values())
+        t = {v: pers.get(v, 0.0) / total for v in nodes}
+        x = dict(t)
+        outw = {}
+        for v in nodes:
+            nbrs = nxg.succ[v] if nxg.is_directed() else nxg.adj[v]
+            outw[v] = sum((d.get(weight, 1) if weight else 1) for d in nbrs.values())
+        for _ in range(max_iter):
+            nxt = {v: 0.0 for v in nodes}
+            dangle = sum(x[v] for v in nodes if outw[v] == 0)
+            for u in nodes:
+                if outw[u] == 0:
+                    continue
+                nbrs = nxg.succ[u] if nxg.is_directed() else nxg.adj[u]
+                for v, d in nbrs.items():
+                    w = d.get(weight, 1) if weight else 1
+                    nxt[v] += alpha * x[u] * w / outw[u]
+            for v in nodes:
+                nxt[v] += (1 - alpha) * t[v] + alpha * dangle * t[v]
+            if sum(abs(nxt[v] - x[v]) for v in nodes) < tol:
+                return nxt
+            x = nxt
+        return x
+
+    def _check(self, spark, edges, pers, directed=True):
+        import networkx as nx
+
+        from arkouda_njit_spark import DiGraph, Graph
+        from arkouda_njit_spark.operators import personalized_pagerank
+
+        cls = DiGraph if directed else Graph
+        g = cls.from_edges(spark, [u for u, v in edges], [v for u, v in edges])
+        nxg = (nx.DiGraph if directed else nx.Graph)(edges)
+        nxg.remove_edges_from(nx.selfloop_edges(nxg))
+        label_of = {r["vid"]: r["label"] for r in g.vertices.collect()}
+        got = {
+            label_of[r["vid"]]: r["rank"]
+            for r in personalized_pagerank(g, pers, tol=1e-12, max_iterations=200).collect()
+        }
+        want = self._python_ppr(nxg, pers)
+        assert set(got) == set(want)
+        for v in want:
+            assert abs(got[v] - want[v]) < 1e-8, (v, got[v], want[v])
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    def test_single_seed_directed(self, spark):
+        edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]  # 4 is dangling
+        self._check(spark, edges, {0: 1.0})
+
+    def test_multi_seed_weighted_teleport(self, spark):
+        edges = [(0, 1), (1, 2), (2, 0), (3, 0), (1, 3), (4, 1)]
+        self._check(spark, edges, {0: 3.0, 3: 1.0})
+
+    def test_undirected(self, spark):
+        edges = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3)]
+        self._check(spark, edges, {2: 1.0}, directed=False)
+
+    def test_unknown_seed_label_raises(self, spark):
+        from arkouda_njit_spark import DiGraph
+        from arkouda_njit_spark.operators import personalized_pagerank
+
+        g = DiGraph.from_edges(spark, [0, 1], [1, 0])
+        with pytest.raises(ValueError, match="labels not in the graph"):
+            personalized_pagerank(g, {99: 1.0}).collect()
