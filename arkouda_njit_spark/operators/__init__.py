@@ -23,6 +23,7 @@ from .triangles import (
     triangles,
     triangles_per_vertex,
 )
+from .walks import random_walks, walk_corpus
 from .wcc import well_connected_components
 
 __all__ = [
@@ -56,5 +57,7 @@ __all__ = [
     "triangles",
     "triangles_per_vertex",
     "truss_decomposition",
+    "random_walks",
+    "walk_corpus",
     "well_connected_components",
 ]

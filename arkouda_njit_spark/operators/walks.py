@@ -1,0 +1,117 @@
+"""Uniform random walks over the graph — the DeepWalk/node2vec corpus
+generator: the standard way a 100 TB link graph is turned into training
+sequences for embedding models.
+
+Determinism without ``rand()``: Spark's ``rand(seed)`` is per-partition
+seeded and NOT partition-layout invariant, so the neighbor choice at step
+t of walk w is instead ``argmin over neighbors d of xxhash64(w, t, d,
+seed)`` — a uniform draw that is a pure function of (walk, step,
+candidate), reproducible across runs, partitionings and cluster sizes.
+
+Scale shape: one inner join (frontier × out-edges, hash-keyed by the
+current vertex) plus one ``min_by`` aggregation per step — L steps for
+length-L walks, frontier checkpointed per step. Output volume is
+O(walks × length); the corpus writer streams it straight to parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import Graph
+
+
+def random_walks(
+    graph: Graph,
+    walk_length: int = 10,
+    walks_per_vertex: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """(walk_id, start, path) — ``path`` is an ``array<long>`` of vids
+    beginning at ``start``; a walk that hits a vertex with no out-edge
+    stops early (its path is shorter than ``walk_length + 1``). Every
+    vertex starts ``walks_per_vertex`` walks."""
+    if walk_length < 0 or walks_per_vertex < 1:
+        raise ValueError("walk_length >= 0 and walks_per_vertex >= 1 required")
+    k = walks_per_vertex
+    state = (
+        graph.vertices.select("vid")
+        .crossJoin(F.broadcast(graph.spark.range(k).select(F.col("id").alias("rep"))))
+        .select(
+            (F.col("vid") * k + F.col("rep")).alias("walk_id"),
+            F.col("vid").alias("start"),
+            F.col("vid").alias("cur"),
+            F.array(F.col("vid")).alias("path"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    finished = None
+    edges = graph.edges.select("src", "dst").persist()
+    for t in range(1, walk_length + 1):
+        hop = (
+            edges.join(state.withColumnRenamed("cur", "src"), "src")
+            .groupBy("walk_id")
+            .agg(
+                F.min_by(
+                    F.col("dst"), F.xxhash64("walk_id", F.lit(t), "dst", F.lit(seed))
+                ).alias("nxt"),
+                F.first("start").alias("start"),
+                F.first("path").alias("path"),
+            )
+            .select(
+                "walk_id",
+                "start",
+                F.col("nxt").alias("cur"),
+                F.array_append("path", F.col("nxt")).alias("path"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        # walks whose current vertex had no out-edge stop here
+        stopped = state.join(hop.select("walk_id"), "walk_id", "left_anti").select(
+            "walk_id", "start", "path"
+        )
+        finished = stopped if finished is None else finished.unionAll(stopped)
+        state = hop
+        if state.isEmpty():
+            break
+    tail = state.select("walk_id", "start", "path")
+    out = tail if finished is None else finished.unionAll(tail)
+    result = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    return result
+
+
+def walk_corpus(
+    graph: Graph,
+    walk_length: int = 10,
+    walks_per_vertex: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """The walks as a text corpus: (walk_id, sentence) with the original
+    vertex LABELS space-joined — the exact input shape a skip-gram
+    trainer consumes."""
+    walks = random_walks(graph, walk_length, walks_per_vertex, seed)
+    label_of = graph.vertices.select("vid", "label")
+    exploded = walks.select(
+        "walk_id", F.posexplode("path").alias("pos", "vid")
+    ).join(label_of, "vid")
+    return (
+        exploded.groupBy("walk_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("pos"),
+                                F.col("label").cast("string").alias("lbl"),
+                            )
+                        )
+                    ),
+                    lambda s: s["lbl"],
+                ),
+            ).alias("sentence")
+        )
+    )

@@ -1,0 +1,61 @@
+"""Random walks: validity, determinism, partition invariance, uniformity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from arkouda_njit_spark import DiGraph, Graph
+from arkouda_njit_spark.operators import random_walks, walk_corpus
+
+
+def test_walks_are_valid_paths(spark):
+    g = DiGraph.from_edges(spark, [0, 0, 1, 2, 3], [1, 2, 3, 3, 0])
+    edge_set = {(r["src"], r["dst"]) for r in g.edges.collect()}
+    walks = random_walks(g, walk_length=6, walks_per_vertex=2).collect()
+    assert len(walks) == g.n_vertices * 2
+    for r in walks:
+        p = r["path"]
+        assert p[0] == r["start"]
+        assert len(p) == 7  # every vertex here has an out-edge
+        for a, b in zip(p, p[1:]):
+            assert (a, b) in edge_set
+
+
+def test_dead_end_stops_walk(spark):
+    g = DiGraph.from_edges(spark, [0, 1], [1, 2])  # 2 is a sink
+    walks = {r["start"]: r["path"] for r in random_walks(g, walk_length=5).collect()}
+    vid_of = {r["label"]: r["vid"] for r in g.vertices.collect()}
+    assert walks[vid_of[0]] == [vid_of[0], vid_of[1], vid_of[2]]
+    assert walks[vid_of[2]] == [vid_of[2]]
+
+
+def test_deterministic_and_partition_invariant(spark):
+    import networkx as nx
+
+    nxg = nx.karate_club_graph()
+    g = Graph.from_edges(spark, *zip(*nxg.edges()), num_partitions=4)
+    g2 = Graph.from_edges(spark, *zip(*nxg.edges()), num_partitions=11)
+    a = {r["walk_id"]: tuple(r["path"]) for r in random_walks(g, 8, seed=7).collect()}
+    b = {r["walk_id"]: tuple(r["path"]) for r in random_walks(g, 8, seed=7).collect()}
+    c = {r["walk_id"]: tuple(r["path"]) for r in random_walks(g2, 8, seed=7).collect()}
+    assert a == b == c
+    d = {r["walk_id"]: tuple(r["path"]) for r in random_walks(g, 8, seed=8).collect()}
+    assert a != d  # a different seed draws different walks
+
+
+def test_neighbor_choice_roughly_uniform(spark):
+    # vertex 0 has two neighbors; over many walks each should get ~half
+    g = DiGraph.from_edges(spark, [0, 0, 1, 2], [1, 2, 0, 0])
+    walks = random_walks(g, walk_length=1, walks_per_vertex=300).collect()
+    vid_of = {r["label"]: r["vid"] for r in g.vertices.collect()}
+    firsts = [r["path"][1] for r in walks if r["start"] == vid_of[0]]
+    share = firsts.count(vid_of[1]) / len(firsts)
+    assert 0.4 < share < 0.6, share
+
+
+def test_walk_corpus_sentences(spark):
+    g = DiGraph.from_edges(spark, [10, 20, 30], [20, 30, 10])
+    sents = {r["walk_id"]: r["sentence"] for r in walk_corpus(g, walk_length=3).collect()}
+    assert len(sents) == 3
+    for s in sents.values():
+        toks = s.split(" ")
+        assert len(toks) == 4 and set(toks) <= {"10", "20", "30"}
