@@ -23,7 +23,7 @@ from .triangles import (
     triangles,
     triangles_per_vertex,
 )
-from .walks import random_walks, walk_corpus
+from .walks import node2vec_walks, random_walks, walk_corpus
 from .wcc import well_connected_components
 
 __all__ = [
@@ -57,6 +57,7 @@ __all__ = [
     "triangles",
     "triangles_per_vertex",
     "truss_decomposition",
+    "node2vec_walks",
     "random_walks",
     "walk_corpus",
     "well_connected_components",

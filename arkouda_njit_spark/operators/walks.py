@@ -115,3 +115,94 @@ def walk_corpus(
             ).alias("sentence")
         )
     )
+
+
+def node2vec_walks(
+    graph: Graph,
+    walk_length: int = 10,
+    walks_per_vertex: int = 1,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """node2vec second-order biased walks: from edge (prev → cur), the
+    next vertex d is weighted 1/p if d == prev (return), 1 if d is a
+    neighbor of prev (BFS-like), 1/q otherwise (DFS-like). p == q == 1
+    degenerates to :func:`random_walks`.
+
+    Deterministic weighted choice without ``rand()``: exponential-race
+    sampling — draw u(d) = hash-uniform(walk, step, d), pick
+    argmin -ln(u)/w(d) (the weighted reservoir trick; each candidate's
+    winning probability is w(d)/Σw). The d==prev / neighbor-of-prev test
+    is one left join against the edge set keyed (prev, dst) — no
+    adjacency broadcast, no driver state."""
+    if walk_length < 0 or walks_per_vertex < 1:
+        raise ValueError("walk_length >= 0 and walks_per_vertex >= 1 required")
+    if p <= 0 or q <= 0:
+        raise ValueError("p and q must be positive")
+    k = walks_per_vertex
+    edges = graph.edges.select("src", "dst").distinct().persist()
+    prev_edges = edges.select(
+        F.col("src").alias("prev"), F.col("dst").alias("cand"), F.lit(True).alias("_nb")
+    )
+    state = (
+        graph.vertices.select("vid")
+        .crossJoin(F.broadcast(graph.spark.range(k).select(F.col("id").alias("rep"))))
+        .select(
+            (F.col("vid") * k + F.col("rep")).alias("walk_id"),
+            F.col("vid").alias("start"),
+            F.lit(None).cast("long").alias("prev"),
+            F.col("vid").alias("cur"),
+            F.array(F.col("vid")).alias("path"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    finished = None
+    # u in (0, 1]: (|hash| + 1) / (2^63 + 1) — never 0, so ln(u) is finite
+    two63 = float(2**63)
+    for t in range(1, walk_length + 1):
+        cand = edges.join(
+            state.withColumnRenamed("cur", "src"), "src"
+        ).select(
+            "walk_id", "start", "prev", F.col("src").alias("cur"),
+            "path", F.col("dst").alias("cand"),
+        )
+        cand = cand.join(prev_edges, ["prev", "cand"], "left")
+        w = (
+            F.when(F.col("cand") == F.col("prev"), F.lit(1.0 / p))
+            .when(F.col("_nb"), F.lit(1.0))
+            .otherwise(F.lit(1.0 / q))
+        )
+        u = (
+            F.abs(F.xxhash64("walk_id", F.lit(t), "cand", F.lit(seed))).cast("double")
+            + 1.0
+        ) / F.lit(two63 + 1.0)
+        score = -F.log(u) / w
+        hop = (
+            cand.groupBy("walk_id")
+            .agg(
+                F.min_by(F.col("cand"), score).alias("nxt"),
+                F.first("start").alias("start"),
+                F.first("cur").alias("cur"),
+                F.first("path").alias("path"),
+            )
+            .select(
+                "walk_id", "start",
+                F.col("cur").alias("prev"),
+                F.col("nxt").alias("cur"),
+                F.array_append("path", F.col("nxt")).alias("path"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        stopped = state.join(hop.select("walk_id"), "walk_id", "left_anti").select(
+            "walk_id", "start", "path"
+        )
+        finished = stopped if finished is None else finished.unionAll(stopped)
+        state = hop
+        if state.isEmpty():
+            break
+    tail = state.select("walk_id", "start", "path")
+    out = tail if finished is None else finished.unionAll(tail)
+    result = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    return result

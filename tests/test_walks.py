@@ -59,3 +59,55 @@ def test_walk_corpus_sentences(spark):
     for s in sents.values():
         toks = s.split(" ")
         assert len(toks) == 4 and set(toks) <= {"10", "20", "30"}
+
+
+class TestNode2vec:
+    def _frac_return(self, spark, p, q, n=400):
+        # undirected path 0-1-2: at step 2 (prev=0, cur=1) the choice is
+        # return (0, weight 1/p) vs onward (2, weight 1/q — vertex 2 is
+        # not a neighbor of 0)
+        from arkouda_njit_spark.operators import node2vec_walks
+
+        g = Graph.from_edges(spark, [0, 1], [1, 2])
+        vid_of = {r["label"]: r["vid"] for r in g.vertices.collect()}
+        walks = node2vec_walks(g, walk_length=2, walks_per_vertex=n, p=p, q=q).collect()
+        steps = [
+            r["path"][2]
+            for r in walks
+            if r["start"] == vid_of[0] and len(r["path"]) == 3
+        ]
+        return steps.count(vid_of[0]) / len(steps)
+
+    def test_low_p_biases_return(self, spark):
+        assert self._frac_return(spark, p=0.01, q=1.0) > 0.95
+
+    def test_low_q_biases_outward(self, spark):
+        assert self._frac_return(spark, p=100.0, q=0.01) < 0.05
+
+    def test_neutral_is_roughly_uniform(self, spark):
+        frac = self._frac_return(spark, p=1.0, q=1.0)
+        assert 0.4 < frac < 0.6, frac
+
+    def test_paths_valid_and_deterministic(self, spark):
+        import networkx as nx
+
+        from arkouda_njit_spark.operators import node2vec_walks
+
+        nxg = nx.karate_club_graph()
+        g = Graph.from_edges(spark, *zip(*nxg.edges()))
+        edge_set = {(r["src"], r["dst"]) for r in g.edges.collect()}
+        a = {r["walk_id"]: tuple(r["path"]) for r in node2vec_walks(g, 6, p=0.5, q=2.0, seed=3).collect()}
+        b = {r["walk_id"]: tuple(r["path"]) for r in node2vec_walks(g, 6, p=0.5, q=2.0, seed=3).collect()}
+        assert a == b
+        for path in a.values():
+            for x, y in zip(path, path[1:]):
+                assert (x, y) in edge_set
+
+    def test_invalid_params_raise(self, spark):
+        from arkouda_njit_spark.operators import node2vec_walks
+
+        g = Graph.from_edges(spark, [0], [1])
+        with pytest.raises(ValueError):
+            node2vec_walks(g, p=0.0)
+        with pytest.raises(ValueError):
+            node2vec_walks(g, q=-1.0)
