@@ -1,4 +1,5 @@
 from .bfs import bfs_layers
+from .centrality import harmonic_centrality
 from .clustering import clustering_coefficients, degree_assortativity, transitivity
 from .connected_components import component_sizes, connected_components
 from .diameter import diameter
@@ -31,6 +32,7 @@ __all__ = [
     "connected_components",
     "component_sizes",
     "clustering_coefficients",
+    "harmonic_centrality",
     "degree_assortativity",
     "transitivity",
     "diameter",

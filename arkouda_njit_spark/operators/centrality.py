@@ -1,0 +1,68 @@
+"""Harmonic (closeness-family) centrality — exact or root-sampled.
+
+harmonic(v) = Σ_{u ≠ v} 1 / d(u, v) over unweighted shortest paths INTO
+v (nx.harmonic_centrality semantics; unreachable pairs contribute 0).
+
+All-pairs BFS is one :func:`multi_source_bfs` call with every root in
+the same frontier — the (root, vid)-keyed loop the diameter kernel
+already uses — so "exact" costs max-eccentricity join rounds, not V
+separate traversals. At web scale exact is O(V·E) state and the
+estimator is the real path: k hash-sampled roots give an unbiased
+(n-1)/k-scaled estimate with one identical BFS over k roots.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import Graph
+from .bfs import multi_source_bfs
+
+
+def harmonic_centrality(
+    graph: Graph, sample_size: int | None = None, seed: int = 42
+) -> DataFrame:
+    """(vid, harmonic) for every vertex. ``sample_size=None`` is exact
+    (every vertex a BFS root); otherwise a deterministic xxhash64 sample
+    of roots, estimate scaled by (n-1)/E[roots covering each vertex]."""
+    n = graph.n_vertices
+    verts = graph.vertices.select("vid")
+    if sample_size is not None and sample_size <= 0:
+        raise ValueError("sample_size must be positive")
+    if sample_size is None or sample_size >= n:
+        roots = verts
+        k = n
+    else:
+        roots = (
+            verts.withColumn("_h", F.xxhash64("vid", F.lit(seed)))
+            .orderBy("_h")
+            .limit(sample_size)
+            .select("vid")
+        )
+        k = sample_size
+    visited = multi_source_bfs(
+        graph.edges.select("src", "dst"),
+        roots.select(F.col("vid").alias("root"), "vid"),
+    )
+    contrib = (
+        visited.filter(F.col("depth") > 0)
+        .groupBy("vid")
+        .agg(F.sum(1.0 / F.col("depth")).alias("h"))
+    )
+    out = verts.join(contrib, "vid", "left")
+    if k >= n:
+        return out.select("vid", F.coalesce("h", F.lit(0.0)).alias("harmonic"))
+    # unbiased per-vertex scale: a sampled v sees k-1 possible roots (it is
+    # never its own contributor), an unsampled v sees all k
+    is_root = roots.withColumn("_r", F.lit(True))
+    return out.join(is_root, "vid", "left").select(
+        "vid",
+        (
+            F.coalesce("h", F.lit(0.0))
+            * F.lit(float(n - 1))
+            / F.when(F.col("_r"), F.lit(float(max(k - 1, 1)))).otherwise(
+                F.lit(float(k))
+            )
+        ).alias("harmonic"),
+    )

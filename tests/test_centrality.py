@@ -1,0 +1,74 @@
+"""Harmonic centrality vs nx.harmonic_centrality (pure-python in nx)."""
+
+import networkx as nx
+import pytest
+
+from arkouda_njit_spark import DiGraph, Graph
+from arkouda_njit_spark.operators import harmonic_centrality
+
+from fixtures import ALGO28_DST, ALGO28_SRC, nx_graph
+
+
+def _compare_exact(spark, g, nxg):
+    label_of = {r["vid"]: r["label"] for r in g.vertices.collect()}
+    got = {
+        label_of[r["vid"]]: r["harmonic"]
+        for r in harmonic_centrality(g).collect()
+    }
+    want = nx.harmonic_centrality(nxg)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+
+
+def test_exact_karate(spark):
+    nxg = nx.karate_club_graph()
+    g = Graph.from_edges(spark, *zip(*nxg.edges()))
+    _compare_exact(spark, g, nxg)
+
+
+def test_exact_algo28(spark):
+    g = Graph.from_edges(spark, ALGO28_SRC, ALGO28_DST)
+    nxg = nx_graph(ALGO28_SRC, ALGO28_DST)
+    nxg.remove_edges_from(nx.selfloop_edges(nxg))
+    _compare_exact(spark, g, nxg)
+
+
+def test_exact_directed(spark):
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (0, 3)]
+    g = DiGraph.from_edges(spark, [u for u, v in edges], [v for u, v in edges])
+    _compare_exact(spark, g, nx.DiGraph(edges))
+
+
+def test_sampled_mean_unbiased_on_cycle(spark):
+    # on a vertex-transitive cycle, summing the estimates over all
+    # vertices telescopes to (nearly) the exact total regardless of which
+    # roots were drawn — the estimator's aggregate is tight even when
+    # individual vertices fluctuate
+    n = 12
+    g = Graph.from_edges(spark, list(range(n)), [(i + 1) % n for i in range(n)])
+    exact = {r["vid"]: r["harmonic"] for r in harmonic_centrality(g).collect()}
+    approx = {
+        r["vid"]: r["harmonic"]
+        for r in harmonic_centrality(g, sample_size=4, seed=5).collect()
+    }
+    assert abs(sum(approx.values()) - sum(exact.values())) < 0.15 * sum(exact.values())
+    assert all(v > 0 for v in approx.values())
+
+
+def test_sampled_reasonable_on_karate(spark):
+    nxg = nx.karate_club_graph()
+    g = Graph.from_edges(spark, *zip(*nxg.edges()))
+    label_of = {r["vid"]: r["label"] for r in g.vertices.collect()}
+    want = nx.harmonic_centrality(nxg)
+    approx = {
+        label_of[r["vid"]]: r["harmonic"]
+        for r in harmonic_centrality(g, sample_size=17, seed=1).collect()
+    }
+    # estimator sanity: mean within 25% of the exact mean
+    import statistics
+
+    assert (
+        abs(statistics.mean(approx.values()) - statistics.mean(want.values()))
+        < 0.25 * statistics.mean(want.values())
+    )
