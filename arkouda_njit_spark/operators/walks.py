@@ -49,16 +49,23 @@ def random_walks(
     finished = None
     edges = graph.edges.select("src", "dst").persist()
     for t in range(1, walk_length + 1):
-        hop = (
-            edges.join(state.withColumnRenamed("cur", "src"), "src")
+        # the candidate fan-out (frontier × out-degree) carries ONLY
+        # (walk_id, dst) — the growing path array joins back afterwards by
+        # walk_id, so per-step shuffle volume is O(candidates) 16-byte
+        # rows, not O(candidates × path length)
+        choice = (
+            edges.join(
+                state.select("walk_id", F.col("cur").alias("src")), "src"
+            )
             .groupBy("walk_id")
             .agg(
                 F.min_by(
                     F.col("dst"), F.xxhash64("walk_id", F.lit(t), "dst", F.lit(seed))
-                ).alias("nxt"),
-                F.first("start").alias("start"),
-                F.first("path").alias("path"),
+                ).alias("nxt")
             )
+        )
+        hop = (
+            state.join(choice, "walk_id")
             .select(
                 "walk_id",
                 "start",
@@ -161,12 +168,11 @@ def node2vec_walks(
     # u in (0, 1]: (|hash| + 1) / (2^63 + 1) — never 0, so ln(u) is finite
     two63 = float(2**63)
     for t in range(1, walk_length + 1):
+        # fan-out rows carry only (walk_id, prev, cand) — the bias needs
+        # prev, but start/path join back by walk_id after the choice
         cand = edges.join(
-            state.withColumnRenamed("cur", "src"), "src"
-        ).select(
-            "walk_id", "start", "prev", F.col("src").alias("cur"),
-            "path", F.col("dst").alias("cand"),
-        )
+            state.select("walk_id", "prev", F.col("cur").alias("src")), "src"
+        ).select("walk_id", "prev", F.col("dst").alias("cand"))
         cand = cand.join(prev_edges, ["prev", "cand"], "left")
         w = (
             F.when(F.col("cand") == F.col("prev"), F.lit(1.0 / p))
@@ -178,14 +184,9 @@ def node2vec_walks(
             + 1.0
         ) / F.lit(two63 + 1.0)
         score = -F.log(u) / w
+        choice = cand.groupBy("walk_id").agg(F.min_by(F.col("cand"), score).alias("nxt"))
         hop = (
-            cand.groupBy("walk_id")
-            .agg(
-                F.min_by(F.col("cand"), score).alias("nxt"),
-                F.first("start").alias("start"),
-                F.first("cur").alias("cur"),
-                F.first("path").alias("path"),
-            )
+            state.join(choice, "walk_id")
             .select(
                 "walk_id", "start",
                 F.col("cur").alias("prev"),
