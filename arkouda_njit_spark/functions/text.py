@@ -238,9 +238,15 @@ def repetition_signals(
         covered = F.when(
             top["n"] >= 2, top["n"].cast("long") * F.length(top["el"])
         ).otherwise(F.lit(0))
+        # overlapping shingle occurrences multi-count shared characters, so
+        # clamp: the signal is an overlap-overcounting proxy and the raw
+        # ratio can exceed 1.0 (e.g. 'a a a a a', n=2 → 12/9;
+        # round-4 ADVICE #4)
         out = out.withColumn(
             f"top_{n}gram_char_frac",
-            F.when(n_chars > 0, covered / n_chars).otherwise(F.lit(0.0)),
+            F.when(
+                n_chars > 0, F.least(covered / n_chars, F.lit(1.0))
+            ).otherwise(F.lit(0.0)),
         )
     return out
 

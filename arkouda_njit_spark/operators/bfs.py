@@ -80,13 +80,17 @@ def multi_source_bfs(edges: DataFrame, sources: DataFrame) -> DataFrame:
         eager=True
     )
     levels = [level0]
-    frontier = level0.select("root", "vid")
+    # the visited-keys set grows INCREMENTALLY — one union per level, with a
+    # lazy re-checkpoint every few levels so the anti-join's plan stays a
+    # bounded-width union of LogicalRDDs instead of re-reducing the full
+    # level list every iteration (O(depth^2) plan work on high-diameter
+    # inputs, round-4 ADVICE #5). The re-checkpoint is lazy: it
+    # materializes inside the next level's count, keeping one job/level.
+    visited_keys = level0.select("root", "vid")
+    frontier = visited_keys
     depth = 0
     while True:
         depth += 1
-        visited_keys = reduce(
-            DataFrame.unionAll, [lv.select("root", "vid") for lv in levels]
-        )
         nxt = (
             edges.join(frontier.withColumnRenamed("vid", "src"), "src")
             .select("root", F.col("dst").alias("vid"))
@@ -100,4 +104,7 @@ def multi_source_bfs(edges: DataFrame, sources: DataFrame) -> DataFrame:
             break
         levels.append(nxt)
         frontier = nxt.select("root", "vid")
+        visited_keys = visited_keys.unionAll(frontier)
+        if depth % 8 == 0:
+            visited_keys = visited_keys.localCheckpoint(eager=False)
     return reduce(DataFrame.unionAll, levels)

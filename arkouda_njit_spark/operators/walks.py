@@ -74,13 +74,17 @@ def random_walks(
             )
             .localCheckpoint(eager=False)
         )
+        # the step's ONE action: the count materializes the lazy checkpoint
+        # AND doubles as the emptiness test (no isEmpty probe — same shape
+        # as bfs.py's one-job-per-level loop, round-4 verdict #4)
+        n_alive = hop.count()
         # walks whose current vertex had no out-edge stop here
         stopped = state.join(hop.select("walk_id"), "walk_id", "left_anti").select(
             "walk_id", "start", "path"
         )
         finished = stopped if finished is None else finished.unionAll(stopped)
         state = hop
-        if state.isEmpty():
+        if n_alive == 0:
             break
     tail = state.select("walk_id", "start", "path")
     out = tail if finished is None else finished.unionAll(tail)
@@ -195,12 +199,15 @@ def node2vec_walks(
             )
             .localCheckpoint(eager=False)
         )
+        # one action per step: count materializes the checkpoint and tests
+        # emptiness (round-4 verdict #4)
+        n_alive = hop.count()
         stopped = state.join(hop.select("walk_id"), "walk_id", "left_anti").select(
             "walk_id", "start", "path"
         )
         finished = stopped if finished is None else finished.unionAll(stopped)
         state = hop
-        if state.isEmpty():
+        if n_alive == 0:
             break
     tail = state.select("walk_id", "start", "path")
     out = tail if finished is None else finished.unionAll(tail)

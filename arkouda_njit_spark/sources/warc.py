@@ -207,11 +207,21 @@ def _pages_from_archives(raw: DataFrame) -> DataFrame:
             yield pd.DataFrame({"url": urls, "warc_date": dates, "html": htmls})
 
     parsed = raw.select("content").mapInPandas(parse, schema=_RAW_SCHEMA)
+    # WARC 1.1 allows fractional seconds in WARC-Date (present in real
+    # Common Crawl archives); strip them before the second-resolution parse
+    # rather than silently nulling the timestamp (round-4 ADVICE #3), and
+    # raise on genuinely unparseable dates instead of yielding NaT.
+    stripped = F.regexp_replace(F.col("warc_date"), r"\.\d+Z$", "Z")
+    ts = F.to_timestamp(stripped, "yyyy-MM-dd'T'HH:mm:ss'Z'")
     pages = parsed.select(
         "url",
-        F.to_timestamp(F.col("warc_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
-            "warc_ts"
-        ),
+        F.when(F.col("warc_date").isNull() | ts.isNotNull(), ts)
+        .otherwise(
+            F.raise_error(
+                F.concat(F.lit("unparseable WARC-Date: "), F.col("warc_date"))
+            )
+        )
+        .alias("warc_ts"),
         "html",
     )
     pages = pages.withColumn("text", _extract_text_udf()(F.col("html")))

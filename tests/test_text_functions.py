@@ -157,7 +157,10 @@ class TestRepetitionSignals:
             # so compare covered chars of the best-by-(count, then sorted())
             best = sorted(g for g, c in gc.items() if c == cnt)
             covered = cnt * len(best[0]) if cnt >= 2 else 0
-            out[f"top_{n}gram_char_frac"] = covered / len(text) if text else 0.0
+            # overlap overcounting is clamped engine-side (round-4 ADVICE #4)
+            out[f"top_{n}gram_char_frac"] = (
+                min(covered / len(text), 1.0) if text else 0.0
+            )
         return out
 
     def _check(self, spark, text, keys=("dup_line_frac", "dup_line_char_frac")):
@@ -201,3 +204,14 @@ class TestRepetitionSignals:
     def test_blank_lines_ignored(self, spark):
         row, _ = self._check(spark, "a\n\n\n\na\n\n")
         assert row["dup_line_frac"] == 0.5  # two non-blank 'a' lines
+
+
+def test_top_ngram_char_frac_clamped(spark):
+    """Overlapping shingles multi-count shared characters; the reported
+    fraction is clamped to 1.0 (round-4 ADVICE #4: 'a a a a a' with n=2
+    would otherwise report 12/9)."""
+    from arkouda_njit_spark.functions.text import repetition_signals
+
+    df = spark.createDataFrame([(1, "a a a a a")], "doc_id long, text string")
+    row = repetition_signals(df, ngram_sizes=(2,)).collect()[0]
+    assert row["top_2gram_char_frac"] == 1.0
