@@ -92,15 +92,29 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-def q_rcm(spark, sf_dir):
-    """Legacy RCMFlag relabel (level-set reverse Cuthill-McKee,
-    sources/files.py:rcm_relabel) on a deterministic caterpillar (path
-    0..11 with pendant leaves on even spine vertices) plus an isolated
-    triangle component: varying degrees exercise the (level, degree,
-    label) tie-breaks, and the second component exercises the
-    unreachable-appended branch. Oracle = 14 unrolled min-distance
-    relaxation rounds + a window rank, reversed."""
+def q_relabel(spark, sf_dir):
+    """BOTH legacy relabel operators in one driver row (round-5 registry
+    consolidation), tagged by a ``method`` column:
+
+    * ``degree_sort`` — DegreeSortFlag relabel on graph A: new vids ascend
+      by (degree, label) — dev-tree graph_file_read's degree-sorted remap
+      (GraphMsg.chpl segGraphFileMsg), Spark-first as one composite dense
+      rank + two remap joins (sources/files.py:degree_sort_relabel).
+    * ``rcm`` — RCMFlag relabel (level-set reverse Cuthill-McKee,
+      sources/files.py:rcm_relabel) on a deterministic caterpillar (path
+      0..11 with pendant leaves on even spine vertices) plus an isolated
+      triangle component: varying degrees exercise the (level, degree,
+      label) tie-breaks, and the second component exercises the
+      unreachable-appended branch. Oracle = 14 unrolled min-distance
+      relaxation rounds + a window rank, reversed."""
     _tune(spark)
+    from arkouda_njit_spark.sources import degree_sort_relabel, rcm_relabel
+
+    ds = degree_sort_relabel(_graph_a(spark, sf_dir)).vertices.select(
+        F.lit("degree_sort").alias("method"),
+        F.col("vid").cast("long"),
+        F.col("label").cast("long"),
+    )
     spine = spark.range(12).select(
         F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
     )
@@ -113,31 +127,13 @@ def q_rcm(spark, sf_dir):
         [(100, 101), (101, 102), (102, 100)], "src long, dst long"
     )
     edges = spine.unionAll(leaves).unionAll(tri).withColumn("weight", F.lit(1.0))
-    from arkouda_njit_spark.sources import rcm_relabel
-
     g = rcm_relabel(Graph.from_edges(spark, edges, num_partitions=_GRAPH_PARTITIONS))
-    return g.vertices.select(
-        F.col("vid").cast("long"), F.col("label").cast("long")
+    rcm = g.vertices.select(
+        F.lit("rcm").alias("method"),
+        F.col("vid").cast("long"),
+        F.col("label").cast("long"),
     )
-
-
-def q_degree_sort(spark, sf_dir):
-    """Legacy DegreeSortFlag relabel on graph A: new vids ascend by
-    (degree, label) — dev-tree graph_file_read's degree-sorted remap
-    (GraphMsg.chpl segGraphFileMsg), Spark-first as one composite dense
-    rank + two remap joins (sources/files.py:degree_sort_relabel)."""
-    from arkouda_njit_spark.sources import degree_sort_relabel
-
-    g = degree_sort_relabel(_graph_a(spark, sf_dir))
-    return (
-        g.degree()
-        .join(g.vertices, "vid")
-        .select(
-            F.col("vid").cast("long"),
-            F.col("label").cast("long"),
-            F.col("degree").cast("long"),
-        )
-    )
+    return ds.unionByName(rcm)
 
 
 def _graph_a(spark: SparkSession, sf_dir: str) -> Graph:
@@ -274,15 +270,6 @@ def q_triangle_count(spark, sf_dir):
     return spark.createDataFrame([(triangle_count(g),)], "triangles long")
 
 
-def q_triangles_per_vertex(spark, sf_dir):
-    g = _graph_b(spark, sf_dir)
-    return (
-        triangles_per_vertex(g)
-        .join(_labels(g), "vid")
-        .select(F.col("node").cast("long"), F.col("triangles").cast("long"))
-    )
-
-
 def q_squares(spark, sf_dir):
     g = _graph_b(spark, sf_dir)
     return spark.createDataFrame([(squares(g),)], "squares long")
@@ -365,21 +352,19 @@ def q_complete_graph(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def q_token_count(spark, sf_dir):
-    return token_count(_docs(spark, sf_dir)).select(
-        F.col("doc_id").cast("long"), F.col("n_tokens").cast("long")
-    )
-
-
-def q_quality(spark, sf_dir):
-    return quality_score(_docs(spark, sf_dir)).select(
-        F.col("doc_id").cast("long"), F.round("quality", 6).alias("quality")
-    )
-
-
-def q_lang_id(spark, sf_dir):
-    return language_id(_docs(spark, sf_dir)).select(
-        F.col("doc_id").cast("long"), F.col("lang_pred")
+def q_text_stats(spark, sf_dir):
+    """token_count + quality_score + language_id in ONE row per document
+    (round-5 registry consolidation — all three are doc_id-keyed column
+    pipelines over the same table)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        language_id(quality_score(token_count(docs)))
+        .select(
+            F.col("doc_id").cast("long"),
+            F.col("n_tokens").cast("long"),
+            F.round("quality", 6).alias("quality"),
+            F.col("lang_pred"),
+        )
     )
 
 
@@ -403,29 +388,25 @@ def _clean_ascii(col, n):
     return F.substring(F.regexp_replace(F.lower(col), "[^a-z ]", ""), 1, n)
 
 
-def q_suffix_array(spark, sf_dir):
-    """Per-document suffix arrays (dev-tree SuffixArrayMsg.chpl parity) over
-    a 25-doc sample, strings sanitized to 48 ASCII chars so Python codepoint
-    order == DuckDB byte order. The array column is CSV-stringified because
-    the driver's canonicalizer cannot hash list columns (round-3 ERR)."""
-    from arkouda_njit_spark.functions import suffix_array
+def q_strings(spark, sf_dir):
+    """Suffix arrays AND longest-common-substring in one doc_id-keyed row
+    (round-5 registry consolidation; both dev-tree string kernels,
+    SuffixArrayMsg.chpl / LCSMsg.chpl parity):
 
-    docs = (
-        _docs(spark, sf_dir)
-        .filter(F.col("doc_id") % 20 == 0)
-        .select(F.col("doc_id").cast("long"), _clean_ascii(F.col("text"), 48).alias("s"))
-    )
-    return suffix_array(docs, col="s").select(
-        "doc_id", F.concat_ws(",", F.col("suffix_array")).alias("suffix_array_csv")
-    )
-
-
-def q_lcs(spark, sf_dir):
-    """Longest common substring between doc d and doc d+10 (LCSMsg.chpl
-    parity), 32-char sanitized strings, 25 pairs."""
-    from arkouda_njit_spark.functions import longest_common_substring
+    * per-document suffix array over a 25-doc sample, strings sanitized to
+      48 ASCII chars so Python codepoint order == DuckDB byte order,
+      CSV-stringified (the driver's canonicalizer cannot hash lists);
+    * LCS between doc d and doc d+10 on 32-char sanitized strings
+      ('' where the d+10 partner is missing)."""
+    from arkouda_njit_spark.functions import longest_common_substring, suffix_array
 
     docs = _docs(spark, sf_dir)
+    sa_docs = docs.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").cast("long"), _clean_ascii(F.col("text"), 48).alias("s")
+    )
+    sa = suffix_array(sa_docs, col="s").select(
+        "doc_id", F.concat_ws(",", F.col("suffix_array")).alias("suffix_array_csv")
+    )
     a = docs.filter(F.col("doc_id") % 20 == 0).select(
         F.col("doc_id").cast("long"), _clean_ascii(F.col("text"), 32).alias("a")
     )
@@ -433,9 +414,10 @@ def q_lcs(spark, sf_dir):
         (F.col("doc_id").cast("long") - 10).alias("doc_id"),
         _clean_ascii(F.col("text"), 32).alias("b"),
     )
-    return longest_common_substring(a.join(b, "doc_id"), "a", "b").select(
+    lcs = longest_common_substring(a.join(b, "doc_id"), "a", "b").select(
         "doc_id", "lcs"
     )
+    return sa.join(lcs, "doc_id", "left").na.fill({"lcs": ""})
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -483,9 +465,15 @@ def q_ann_ivf_exhaustive(spark, sf_dir):
     )
 
 
-def q_events_hourly(spark, sf_dir):
+def q_events_rollup(spark, sf_dir):
+    """Hourly per-type aggregation AND per-type top-3 users in one driver
+    row (round-5 registry consolidation), tagged by ``section``:
+    ('hourly', hour_start, event_type, count, total) ∪
+    ('top', event_type, user_id, rank, total)."""
+    from pyspark.sql import Window
+
     ev = _read(spark, sf_dir, "events")
-    return ev.groupBy(
+    hourly = ev.groupBy(
         F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
             "hour_start"
         ),
@@ -493,7 +481,31 @@ def q_events_hourly(spark, sf_dir):
     ).agg(
         F.count("*").cast("long").alias("n"),
         F.round(F.sum("value"), 6).alias("total_value"),
+    ).select(
+        F.lit("hourly").alias("section"),
+        F.col("hour_start").alias("k1"),
+        F.col("event_type").alias("k2"),
+        "n",
+        "total_value",
     )
+    totals = ev.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 6).alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("total_value"), F.col("user_id")
+    )
+    top = (
+        totals.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.lit("top").alias("section"),
+            F.col("event_type").alias("k1"),
+            F.col("user_id").cast("string").alias("k2"),
+            F.col("rank").cast("long").alias("n"),
+            "total_value",
+        )
+    )
+    return hourly.unionByName(top)
 
 
 def q_sessionize(spark, sf_dir):
@@ -505,28 +517,6 @@ def q_sessionize(spark, sf_dir):
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         F.col("n_events").cast("long"),
-    )
-
-
-def q_events_top_users(spark, sf_dir):
-    from pyspark.sql import Window
-
-    ev = _read(spark, sf_dir, "events")
-    totals = ev.groupBy("event_type", "user_id").agg(
-        F.round(F.sum("value"), 6).alias("total_value")
-    )
-    w = Window.partitionBy("event_type").orderBy(
-        F.desc("total_value"), F.col("user_id")
-    )
-    return (
-        totals.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select(
-            "event_type",
-            F.col("user_id").cast("long"),
-            "total_value",
-            F.col("rank").cast("long"),
-        )
     )
 
 
@@ -978,16 +968,213 @@ def q_truss_decomposition(spark, sf_dir):
 
 
 def q_triangles_subset(spark, sf_dir):
-    """ar.triangles(graph, vertices) parity: labels in, per-vertex counts
-    out in INPUT order, unknown labels dropped (methods.py:174-222)."""
+    """triangles_per_vertex AND ar.triangles(graph, vertices) in one row
+    per node (round-5 registry consolidation): every vertex's triangle
+    count, plus the subset query's INPUT-order position for the requested
+    labels (unknown labels dropped, methods.py:174-222; pos = -1 for
+    unrequested nodes)."""
     from arkouda_njit_spark.operators import triangles
 
     g = _graph_b(spark, sf_dir)
-    out = triangles(g, [7, 3, 150, 42, 99999])
+    sub = triangles(g, [7, 3, 150, 42, 99999]).select(
+        F.col("node").cast("long"), F.col("pos").cast("long")
+    )
+    full = (
+        triangles_per_vertex(g)
+        .join(_labels(g), "vid")
+        .select(F.col("node").cast("long"), F.col("triangles").cast("long"))
+    )
+    return full.join(sub, "node", "left").select(
+        "node", "triangles", F.coalesce("pos", F.lit(-1)).cast("long").alias("pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: the round-4 kernels under the driver oracle
+# ---------------------------------------------------------------------------
+
+
+def _digraph_w(spark: SparkSession, sf_dir: str) -> DiGraph:
+    """Directed 'web-shaped' graph for SCC/bow-tie: mostly-forward edges
+    over 200 vertices with long-range back edges on every 7th draw, which
+    yields a real, SHALLOW Broder structure at sf0.01 — a giant SCC of
+    171, a second SCC of 2, 27 singletons, IN=14 / OUT=14 fringes — and
+    trims to its cyclic core in 3 degree-peel rounds (deep-chain inputs
+    make the label-exchange SCC loop latency-bound, which is a kernel
+    property the RMAT scaling study covers, not something to pay in the
+    50-query correctness window)."""
+    key = ("w", sf_dir)
+    if key not in _CACHE:
+        li = _read(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 80 == 0)
+        s = F.pmod(F.col("l_partkey") * 3 + F.col("l_suppkey"), F.lit(200))
+        d = F.when(
+            F.col("l_orderkey") % 7 == 0,
+            F.greatest(F.lit(0), s - F.pmod(F.col("l_orderkey"), F.lit(60))),
+        ).otherwise(F.least(F.lit(199), s + 1 + F.pmod(F.col("l_orderkey"), F.lit(25))))
+        raw = (
+            li.select(s.alias("src"), d.alias("dst"), F.lit(1.0).alias("weight"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        _CACHE[key] = DiGraph.from_edges(spark, raw, num_partitions=_GRAPH_PARTITIONS)
+    return _CACHE[key]
+
+
+def q_scc_bowtie(spark, sf_dir):
+    """Strongly connected components (min-label canonical ids), component
+    sizes AND the Broder bow-tie region per vertex, in one driver row
+    (operators/scc.py — beyond-reference; the reference ships only
+    undirected CC). Oracle = recursive-CTE transitive closure: mutual
+    reachability for the SCC labels, closure-from/to the giant SCC for
+    the regions."""
+    from arkouda_njit_spark.operators import bowtie_decomposition
+    from arkouda_njit_spark.operators import strongly_connected_components
+
+    dg = _digraph_w(spark, sf_dir)
+    lab = dg.vertices.select("vid", F.col("label").alias("node"))
+    scc = strongly_connected_components(dg).localCheckpoint(eager=True)
+    region = bowtie_decomposition(dg, scc=scc)
+    scc_lab = lab.select(F.col("vid").alias("scc"), F.col("node").alias("scc_label"))
+    out = (
+        scc.join(lab, "vid")
+        .join(scc_lab, "scc")
+        .select("vid", "node", F.col("scc_label").alias("scc"))
+    )
+    sizes = out.groupBy("scc").agg(F.count("*").cast("long").alias("scc_size"))
+    return (
+        out.join(sizes, "scc")
+        .join(region, "vid")
+        .select(
+            F.col("node").cast("long"),
+            F.col("scc").cast("long"),
+            "scc_size",
+            "region",
+        )
+    )
+
+
+def q_kcore(spark, sf_dir):
+    """Per-vertex core number via monotone level peeling (operators/
+    kcore.py — the reference's truss pre-stage promoted to a public
+    operator, TrussMsg.chpl:222-247). Oracle = unrolled degree-peel
+    fixpoints per level (same family as the k-truss oracle)."""
+    from arkouda_njit_spark.operators import core_decomposition
+
+    g = _graph_s(spark, sf_dir)
+    return (
+        core_decomposition(g)
+        .join(_labels(g), "vid")
+        .select(F.col("node").cast("long"), F.col("core").cast("long"))
+    )
+
+
+def q_hits5(spark, sf_dir):
+    """HITS hubs/authorities, 5 fixed alternating sum-normalized
+    iterations on directed graph A (operators/hits.py); oracle = unrolled
+    iterations like the PageRank oracle."""
+    from arkouda_njit_spark.operators import hits
+
+    li = _read(spark, sf_dir, "lineitem")
+    dg = DiGraph.from_edges(
+        spark,
+        li.select(
+            F.col("l_partkey").alias("src"),
+            (F.lit(100000) + F.col("l_suppkey")).alias("dst"),
+            F.lit(1.0).alias("weight"),
+        ),
+        num_partitions=_GRAPH_PARTITIONS,
+    )
+    out = hits(dg, max_iterations=5, tol=0.0)
+    return (
+        out.join(dg.vertices.select("vid", F.col("label").alias("node")), "vid")
+        .select(
+            F.col("node").cast("long"),
+            F.round("hub", 9).alias("hub"),
+            F.round("auth", 9).alias("auth"),
+        )
+    )
+
+
+#: closed-form deterministic digraph for the walk-replay oracle: labels
+#: 0..59, three out-edges per vertex (dedup'd, self-loops dropped) — the
+#: SAME formula is replayed host-side through the XXH64 port to compute
+#: the expected walks as SQL literals.
+_WALK_N = 60
+
+
+def _walk_edge_pairs() -> list[tuple[int, int]]:
+    pairs = set()
+    for i in range(_WALK_N):
+        for d in ((i * 7 + 3) % _WALK_N, (i * 13 + 5) % _WALK_N, (i + 1) % _WALK_N):
+            if d != i:
+                pairs.add((i, d))
+    return sorted(pairs)
+
+
+def q_random_walks(spark, sf_dir):
+    """Deterministic uniform random walks (operators/walks.py — the
+    DeepWalk corpus generator): length-8 walks from every vertex of the
+    closed-form 60-vertex digraph, returned as walk_corpus sentences
+    (space-joined labels). The neighbor draw is argmin
+    xxhash64(walk_id, step, dst, seed) — a pure function of the tuple —
+    so the oracle replays every step host-side through the XXH64 port
+    (functions/xxh64.py) and inlines the expected sentences as literals;
+    any divergence in the join/min_by/path-reassembly pipeline changes a
+    sentence and fails the hash check."""
+    _tune(spark)
+    from arkouda_njit_spark.operators import walk_corpus
+
+    edges = spark.createDataFrame(
+        _walk_edge_pairs(), "src long, dst long"
+    ).withColumn("weight", F.lit(1.0))
+    dg = DiGraph.from_edges(spark, edges, num_partitions=_GRAPH_PARTITIONS)
+    return walk_corpus(dg, walk_length=8, walks_per_vertex=1, seed=42).select(
+        F.col("walk_id").cast("long"), "sentence"
+    )
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide paragraph-level exact dedup (functions/dedup.py
+    paragraph_dedup — the C4-style boilerplate filter): documents are
+    given three paragraphs (their text, a shared boilerplate line, their
+    40-char prefix) over the dup-augmented corpus, so the boilerplate
+    repeats ~550x (kept once, at the smallest (doc_id, pos)) and each
+    +1000000 copy's paragraphs repeat twice. Oracle recomputes the whole
+    explode → digest-count → keep-first → reassemble pipeline in SQL."""
+    from arkouda_njit_spark.functions import paragraph_dedup
+
+    docs = _docs_with_dups(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.col("text"),
+            F.lit("Subscribe to our newsletter today"),
+            F.substring(F.col("text"), 1, 40),
+        ).alias("text"),
+    )
+    out = paragraph_dedup(docs, min_repeats=2, keep="first")
     return out.select(
-        F.col("pos").cast("long"),
-        F.col("node").cast("long"),
-        F.col("triangles").cast("long"),
+        F.col("doc_id").cast("long"),
+        F.col("text_dedup"),
+        F.col("n_paras_removed").cast("long"),
+    )
+
+
+def q_clustering(spark, sf_dir):
+    """Per-vertex clustering coefficient (triangles / C(deg,2)) on graph B
+    (operators/clustering.py — beyond-reference structural analytics over
+    the degree-oriented triangle kernel)."""
+    from arkouda_njit_spark.operators import clustering_coefficients
+
+    g = _graph_b(spark, sf_dir)
+    return (
+        clustering_coefficients(g)
+        .join(_labels(g), "vid")
+        .select(
+            F.col("node").cast("long"),
+            F.col("triangles").cast("long"),
+            F.col("deg").cast("long"),
+            F.round("clustering", 9).alias("clustering"),
+        )
     )
 
 
@@ -997,7 +1184,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree": q_degree,
         "density": q_density,
         "triangle_count": q_triangle_count,
-        "triangles_per_vertex": q_triangles_per_vertex,
         "squares": q_squares,
         "pagerank5": q_pagerank5,
         "pagerank3_weighted": q_pagerank3_weighted,
@@ -1005,19 +1191,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa4": q_lpa4,
         "bfs": q_bfs,
         "complete_graph": q_complete_graph,
-        "token_count": q_token_count,
-        "quality": q_quality,
-        "lang_id": q_lang_id,
+        "text_stats": q_text_stats,
         "exact_dups": q_exact_dups,
         "fingerprint": q_fingerprint,
-        "suffix_array": q_suffix_array,
-        "lcs": q_lcs,
+        "strings": q_strings,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
         "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
-        "events_hourly": q_events_hourly,
+        "events_rollup": q_events_rollup,
         "sessionize": q_sessionize,
-        "events_top_users": q_events_top_users,
         "mono_3cycle": q_mono_3cycle,
         "gopher_flags": q_gopher_flags,
         "host_graph": q_host_graph,
@@ -1035,9 +1217,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc_split": q_wcc_split,
         "filter_edges": q_filter_edges,
         "subgraph_view": q_subgraph_view,
-        "degree_sort": q_degree_sort,
-        "rcm": q_rcm,
+        "relabel": q_relabel,
         "triangles_subset": q_triangles_subset,
+        # round-5 additions: the round-4 kernels under the driver oracle
+        "scc_bowtie": q_scc_bowtie,
+        "kcore": q_kcore,
+        "hits5": q_hits5,
+        "random_walks": q_random_walks,
+        "paragraph_dedup": q_paragraph_dedup,
+        "clustering": q_clustering,
         # rows-only in round 1, oracled since round 2:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash": q_simhash,
@@ -1623,20 +1811,7 @@ na AS MATERIALIZED (
 )"""
 
 
-def oracle_sql() -> dict[str, str]:
-    return {
-        "build_edges": """
-SELECT l_partkey AS u, 100000 + l_suppkey AS v,
-       CAST(COUNT(*) AS DOUBLE) AS weight
-FROM lineitem GROUP BY 1, 2
-""",
-        "degree": f"""
-WITH {_A_EDGES},
-od AS (SELECT u AS node, COUNT(*) AS c FROM edges GROUP BY u)
-SELECT d.node, d.deg AS degree, COALESCE(od.c, 0) AS out_degree
-FROM deg d LEFT JOIN od ON d.node = od.node
-""",
-        "rcm": """
+_RCM_SQL = """
 WITH base(u, v) AS (
   SELECT i, i + 1 FROM generate_series(0, 11) t(i)
   UNION ALL
@@ -1779,12 +1954,290 @@ cm AS (
   FROM keyed
 )
 SELECT n - 1 - r AS vid, node AS label FROM cm
+"""
+
+
+def _scc_bowtie_sql() -> str:
+    """q_scc_bowtie replay: a recursive-CTE transitive closure gives
+    mutual-reachability (SCC labels = min mutual vertex, exactly the
+    engine's min-member relabel), and closure from/to the giant SCC gives
+    the Broder regions. Completely independent of the engine's
+    trim/color/backward-BFS evaluation."""
+    return """
+WITH RECURSIVE de AS MATERIALIZED (
+  SELECT DISTINCT s, d FROM (
+    SELECT (l_partkey*3 + l_suppkey) % 200 AS s,
+           CASE WHEN l_orderkey % 7 = 0
+                THEN GREATEST(0, (l_partkey*3 + l_suppkey) % 200 - l_orderkey % 60)
+                ELSE LEAST(199, (l_partkey*3 + l_suppkey) % 200 + 1 + l_orderkey % 25)
+           END AS d
+    FROM lineitem WHERE l_orderkey % 80 = 0
+  ) WHERE s <> d
+),
+verts AS MATERIALIZED (
+  SELECT DISTINCT v FROM (SELECT s AS v FROM de UNION ALL SELECT d FROM de)
+),
+reach AS (
+  SELECT s, d FROM de
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN de e ON r.d = e.s
+),
+mutual AS MATERIALIZED (
+  SELECT a.s AS v, a.d AS w FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
+),
+scc AS MATERIALIZED (
+  SELECT v.v, LEAST(v.v, COALESCE(MIN(m.w), v.v)) AS scc
+  FROM verts v LEFT JOIN mutual m ON m.v = v.v GROUP BY v.v
+),
+sizes AS MATERIALIZED (SELECT scc, COUNT(*) AS n FROM scc GROUP BY scc),
+giant AS (SELECT scc FROM sizes ORDER BY n DESC, scc LIMIT 1),
+core AS MATERIALIZED (SELECT v FROM scc WHERE scc = (SELECT scc FROM giant)),
+fwd AS MATERIALIZED (
+  SELECT v FROM core
+  UNION SELECT r.d AS v FROM reach r JOIN core c ON r.s = c.v
+),
+rev AS MATERIALIZED (
+  SELECT v FROM core
+  UNION SELECT r.s AS v FROM reach r JOIN core c ON r.d = c.v
+),
+outs AS MATERIALIZED (SELECT v FROM fwd WHERE v NOT IN (SELECT v FROM core)),
+ins  AS MATERIALIZED (SELECT v FROM rev WHERE v NOT IN (SELECT v FROM core)),
+rest AS MATERIALIZED (
+  SELECT v.v FROM verts v
+  WHERE v.v NOT IN (SELECT v FROM fwd) AND v.v NOT IN (SELECT v FROM rev)
+),
+from_in AS MATERIALIZED (
+  SELECT DISTINCT r.d AS v FROM reach r
+  JOIN ins i ON r.s = i.v JOIN rest t ON r.d = t.v
+),
+to_out AS MATERIALIZED (
+  SELECT DISTINCT r.s AS v FROM reach r
+  JOIN outs o ON r.d = o.v JOIN rest t ON r.s = t.v
+)
+SELECT CAST(v.v AS BIGINT) AS node, CAST(s.scc AS BIGINT) AS scc,
+       CAST(sz.n AS BIGINT) AS scc_size,
+       CASE WHEN v.v IN (SELECT v FROM core) THEN 'SCC'
+            WHEN v.v IN (SELECT v FROM ins) THEN 'IN'
+            WHEN v.v IN (SELECT v FROM outs) THEN 'OUT'
+            WHEN v.v IN (SELECT v FROM from_in)
+                 AND v.v IN (SELECT v FROM to_out) THEN 'TUBE'
+            WHEN v.v IN (SELECT v FROM from_in) THEN 'TENDRIL_IN'
+            WHEN v.v IN (SELECT v FROM to_out) THEN 'TENDRIL_OUT'
+            ELSE 'DISC' END AS region
+FROM verts v JOIN scc s ON s.v = v.v JOIN sizes sz ON sz.scc = s.scc
+"""
+
+
+def _degree_peel(prefix: str, src_cte: str, k: int, rounds: int) -> str:
+    """SQL fragment: ``rounds`` degree-peel rounds at threshold ``k`` over
+    ``src_cte`` (u, v); surviving set is ``{prefix}{rounds}``. Idempotent
+    past the fixpoint, so ``rounds`` just needs to cover it."""
+    parts = [f",\n{prefix}0 AS MATERIALIZED (SELECT u, v FROM {src_cte})"]
+    for r in range(rounds):
+        parts.append(
+            f""",
+{prefix}deg{r} AS (
+  SELECT x AS vid, COUNT(*) AS dg FROM (
+    SELECT u AS x FROM {prefix}{r} UNION ALL SELECT v FROM {prefix}{r}
+  ) GROUP BY x
+),
+{prefix}bad{r} AS (SELECT vid FROM {prefix}deg{r} WHERE dg < {k}),
+{prefix}{r + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {prefix}{r} e
+  WHERE e.u NOT IN (SELECT vid FROM {prefix}bad{r})
+    AND e.v NOT IN (SELECT vid FROM {prefix}bad{r})
+)"""
+        )
+    return "".join(parts)
+
+
+def _kcore_sql() -> str:
+    """q_kcore replay over the sampled graph_s: unrolled degree-peel
+    fixpoints per level (1-core = the graph itself; empirically the
+    2-core needs 4 rounds and the 3-core empties in 17 at sf0.01 — the
+    padded counts guard the fixpoint claim, extra rounds are idempotent).
+    core(v) = highest level whose surviving edge set still touches v."""
+    return (
+        """WITH se AS MATERIALIZED (
+  SELECT DISTINCT LEAST(l_orderkey % 1201, (l_partkey*7+l_suppkey) % 1201) AS u,
+                  GREATEST(l_orderkey % 1201, (l_partkey*7+l_suppkey) % 1201) AS v
+  FROM lineitem
+  WHERE l_orderkey % 40 = 0
+    AND l_orderkey % 1201 <> (l_partkey*7+l_suppkey) % 1201
+)"""
+        + _degree_peel("c2_", "se", 2, 10)
+        + _degree_peel("c3_", "c2_10", 3, 24)
+        + """,
+verts AS (SELECT DISTINCT x AS node FROM (SELECT u AS x FROM se UNION ALL SELECT v FROM se)),
+in2 AS (SELECT DISTINCT x AS node FROM (SELECT u AS x FROM c2_10 UNION ALL SELECT v FROM c2_10)),
+in3 AS (SELECT DISTINCT x AS node FROM (SELECT u AS x FROM c3_24 UNION ALL SELECT v FROM c3_24))
+SELECT v.node,
+       CAST(CASE WHEN v.node IN (SELECT node FROM in3) THEN 3
+                 WHEN v.node IN (SELECT node FROM in2) THEN 2
+                 ELSE 1 END AS BIGINT) AS core
+FROM verts v
+"""
+    )
+
+
+def _hits_sql(iters: int) -> str:
+    """q_hits5 replay: unrolled alternating sum-normalized HITS updates
+    over the distinct directed graph-A edges (operators/hits.py
+    semantics; same unrolled-CTE family as the PageRank oracle)."""
+    parts = [
+        """WITH e AS MATERIALIZED (
+  SELECT DISTINCT l_partkey AS u, 100000 + l_suppkey AS v FROM lineitem
+),
+verts AS MATERIALIZED (SELECT u AS node FROM e UNION SELECT v FROM e),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+h0 AS MATERIALIZED (
+  SELECT node, 1.0/(SELECT n FROM nn) AS hub, 1.0/(SELECT n FROM nn) AS auth
+  FROM verts
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+ar{i} AS (
+  SELECT e.v AS node, SUM(p.hub) AS a
+  FROM e JOIN h{i-1} p ON e.u = p.node GROUP BY e.v
+),
+af{i} AS MATERIALIZED (
+  SELECT v.node, COALESCE(ar.a, 0.0) AS auth
+  FROM verts v LEFT JOIN ar{i} ar ON v.node = ar.node
+),
+at{i} AS (SELECT SUM(auth) AS t FROM af{i}),
+an{i} AS MATERIALIZED (
+  SELECT node, CASE WHEN (SELECT t FROM at{i}) > 0
+                    THEN auth / (SELECT t FROM at{i}) ELSE 0.0 END AS auth
+  FROM af{i}
+),
+hr{i} AS (
+  SELECT e.u AS node, SUM(a.auth) AS h
+  FROM e JOIN an{i} a ON e.v = a.node GROUP BY e.u
+),
+hf{i} AS MATERIALIZED (
+  SELECT v.node, COALESCE(hr.h, 0.0) AS hub
+  FROM verts v LEFT JOIN hr{i} hr ON v.node = hr.node
+),
+ht{i} AS (SELECT SUM(hub) AS t FROM hf{i}),
+h{i} AS MATERIALIZED (
+  SELECT hf.node,
+         CASE WHEN (SELECT t FROM ht{i}) > 0
+              THEN hf.hub / (SELECT t FROM ht{i}) ELSE 0.0 END AS hub,
+         an.auth
+  FROM hf{i} hf JOIN an{i} an ON hf.node = an.node
+)"""
+        )
+    parts.append(
+        f"\nSELECT node, ROUND(hub, 9) AS hub, ROUND(auth, 9) AS auth FROM h{iters}"
+    )
+    return "".join(parts)
+
+
+def _walk_replay_sql(walk_length: int, seed: int) -> str:
+    """q_random_walks replay: the closed-form 60-vertex digraph and the
+    per-step argmin-xxhash64 neighbor draws are all data-independent, so
+    the entire expected corpus is computed host-side through the pure-
+    Python XXH64 port (functions/xxh64.py, bit-exact vs Spark by test)
+    and inlined as literals — the same replay discipline as the
+    web_pagerank / media_features oracles."""
+    from arkouda_njit_spark.functions.xxh64 import spark_xxhash64
+
+    adj: dict[int, list[int]] = {}
+    for s, d in _walk_edge_pairs():
+        adj.setdefault(s, []).append(d)
+    rows = []
+    for v in range(_WALK_N):
+        path = [v]
+        cur = v
+        for t in range(1, walk_length + 1):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            cur = min(
+                nbrs,
+                key=lambda d: spark_xxhash64(
+                    ("long", v), ("int", t), ("long", d), ("int", seed)
+                ),
+            )
+            path.append(cur)
+        rows.append((v, " ".join(str(x) for x in path)))
+    values = ",".join(f"({w},'{s}')" for w, s in rows)
+    return (
+        f"SELECT CAST(walk_id AS BIGINT) AS walk_id, sentence\n"
+        f"FROM (VALUES {values}) t(walk_id, sentence)"
+    )
+
+
+def _paragraph_dedup_sql() -> str:
+    """q_paragraph_dedup replay: rebuild the 3-paragraph corpus, explode
+    with ordinality, digest-count whitespace-normalized paragraphs, keep
+    each >=2-occurrence paragraph only at its smallest (doc_id, pos), and
+    reassemble — the full functions/dedup.py paragraph_dedup pipeline."""
+    return f"""
+WITH {_DOCS_DUP},
+corpus AS MATERIALIZED (
+  SELECT doc_id,
+         text || chr(10) || chr(10) || 'Subscribe to our newsletter today'
+              || chr(10) || chr(10) || substr(text, 1, 40) AS text
+  FROM docsdup
+),
+exploded AS (
+  SELECT doc_id,
+         unnest(list_transform(regexp_split_to_array(text, '\\n\\n'),
+                               (x, i) -> {{'pos': i - 1, 'para': x}})) AS u
+  FROM corpus
+),
+paras AS MATERIALIZED (
+  SELECT doc_id, u.pos AS pos, u.para AS para,
+         md5(trim(regexp_replace(u.para, '\\s+', ' ', 'g'))) AS pkey
+  FROM exploded
+),
+stats AS MATERIALIZED (SELECT pkey, COUNT(*) AS n_occ FROM paras GROUP BY pkey),
+ranked AS MATERIALIZED (
+  SELECT doc_id, pos, para, pkey,
+         ROW_NUMBER() OVER (PARTITION BY pkey ORDER BY doc_id, pos) AS rn
+  FROM paras
+),
+flagged AS (
+  SELECT r.doc_id, r.pos, r.para,
+         (s.n_occ < 2 OR r.rn = 1) AS keep_para
+  FROM ranked r JOIN stats s USING (pkey)
+),
+agg AS (
+  SELECT doc_id,
+         COALESCE(string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                  FILTER (WHERE keep_para), '') AS text_dedup,
+         SUM(CASE WHEN keep_para THEN 0 ELSE 1 END) AS n_paras_removed
+  FROM flagged GROUP BY doc_id
+)
+SELECT c.doc_id, a.text_dedup, CAST(a.n_paras_removed AS BIGINT) AS n_paras_removed
+FROM corpus c JOIN agg a USING (doc_id)
+"""
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "build_edges": """
+SELECT l_partkey AS u, 100000 + l_suppkey AS v,
+       CAST(COUNT(*) AS DOUBLE) AS weight
+FROM lineitem GROUP BY 1, 2
 """,
-        "degree_sort": f"""
-WITH {_A_EDGES}
-SELECT ROW_NUMBER() OVER (ORDER BY deg, node) - 1 AS vid,
-       node AS label, deg AS degree
-FROM deg
+        "degree": f"""
+WITH {_A_EDGES},
+od AS (SELECT u AS node, COUNT(*) AS c FROM edges GROUP BY u)
+SELECT d.node, d.deg AS degree, COALESCE(od.c, 0) AS out_degree
+FROM deg d LEFT JOIN od ON d.node = od.node
+""",
+        "relabel": f"""
+SELECT 'degree_sort' AS method, vid, label FROM (
+  WITH {_A_EDGES}
+  SELECT ROW_NUMBER() OVER (ORDER BY deg, node) - 1 AS vid, node AS label
+  FROM deg
+)
+UNION ALL
+SELECT 'rcm' AS method, vid, label FROM ({_RCM_SQL})
 """,
         "density": f"""
 WITH {_A_EDGES},
@@ -1799,21 +2252,6 @@ WITH {_B_EDGES}
 SELECT COUNT(*) AS triangles
 FROM und ab JOIN und ac ON ab.u = ac.u AND ab.v < ac.v
             JOIN und bc ON bc.u = ab.v AND bc.v = ac.v
-""",
-        "triangles_per_vertex": f"""
-WITH {_B_EDGES},
-tri AS (
-  SELECT ab.u AS a, ab.v AS b, ac.v AS c
-  FROM und ab JOIN und ac ON ab.u = ac.u AND ab.v < ac.v
-              JOIN und bc ON bc.u = ab.v AND bc.v = ac.v
-),
-cnt AS (
-  SELECT x AS node, COUNT(*) AS t FROM (
-    SELECT a AS x FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
-  ) GROUP BY x
-)
-SELECT v.node, COALESCE(c.t, 0) AS triangles
-FROM bverts v LEFT JOIN cnt c ON v.node = c.node
 """,
         "squares": f"""
 WITH {_B_EDGES},
@@ -1848,43 +2286,32 @@ GROUP BY v.node
 SELECT a.range AS src, b.range AS dst
 FROM range(8) a, range(8) b WHERE a.range < b.range
 """,
-        "token_count": f"""
-WITH {_TOKS}
-SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks
-""",
-        "quality": f"""
+        "text_stats": f"""
 WITH {_DOCS},
 m AS (
   SELECT doc_id,
          length(text) AS nc,
          len(regexp_split_to_array(trim(text), '\\s+')) AS nt,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS na,
-         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np
-  FROM docs
-)
-SELECT doc_id, ROUND(
-    (CASE WHEN nc >= 20 AND nc <= 100000 THEN 0.25 ELSE 0 END) +
-    (CASE WHEN nc > 0 AND na * 1.0 / nc >= 0.6 THEN 0.25 ELSE 0 END) +
-    (CASE WHEN nc > 0 AND np * 1.0 / nc <= 0.1 THEN 0.25 ELSE 0 END) +
-    (CASE WHEN nt > 0 AND nc * 1.0 / nt >= 3 AND nc * 1.0 / nt <= 12
-          THEN 0.25 ELSE 0 END), 6) AS quality
-FROM m
-""",
-        "lang_id": f"""
-WITH {_DOCS},
-tk AS (
-  SELECT doc_id,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np,
          list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
   FROM docs
 ),
 hits AS (
-  SELECT doc_id,
+  SELECT doc_id, nc, nt, na, np,
     len(list_intersect(t, ['the','and','of','to','in','is','for','with','that','this'])) AS h_en,
     len(list_intersect(t, ['der','die','das','und','ist','nicht','mit','ein','eine','zu'])) AS h_de,
     len(list_intersect(t, ['le','la','les','et','est','pour','dans','une','que','des'])) AS h_fr
-  FROM tk
+  FROM m
 )
 SELECT doc_id,
+  CAST(nt AS BIGINT) AS n_tokens,
+  ROUND(
+    (CASE WHEN nc >= 20 AND nc <= 100000 THEN 0.25 ELSE 0 END) +
+    (CASE WHEN nc > 0 AND na * 1.0 / nc >= 0.6 THEN 0.25 ELSE 0 END) +
+    (CASE WHEN nc > 0 AND np * 1.0 / nc <= 0.1 THEN 0.25 ELSE 0 END) +
+    (CASE WHEN nt > 0 AND nc * 1.0 / nt >= 3 AND nc * 1.0 / nt <= 12
+          THEN 0.25 ELSE 0 END), 6) AS quality,
   CASE WHEN GREATEST(h_en, h_de, h_fr) = 0 THEN 'und'
        WHEN h_de = GREATEST(h_en, h_de, h_fr) THEN 'de'
        WHEN h_en = GREATEST(h_en, h_de, h_fr) THEN 'en'
@@ -1902,22 +2329,21 @@ FROM docsdup GROUP BY md5(text) HAVING COUNT(*) >= 2
 WITH {_SHINGLES}
 SELECT doc_id, MIN(md5(s)) AS fingerprint FROM sh GROUP BY doc_id
 """,
-        "suffix_array": f"""
+        "strings": f"""
 WITH {_DOCS},
 base AS MATERIALIZED (
   SELECT doc_id, substr(regexp_replace(lower(text), '[^a-z ]', '', 'g'), 1, 48) AS s
   FROM docs WHERE doc_id % 20 = 0
-)
-SELECT doc_id,
+),
+sa AS MATERIALIZED (
+  SELECT doc_id,
        array_to_string(
          list_transform(
            list_sort(list_transform(generate_series(1, length(s)),
                                     i -> {{'suf': s[i:], 'i': i}})),
            x -> CAST(x.i - 1 AS INT)), ',') AS suffix_array_csv
-FROM base
-""",
-        "lcs": f"""
-WITH {_DOCS},
+  FROM base
+),
 pa AS MATERIALIZED (
   SELECT doc_id, substr(regexp_replace(lower(text), '[^a-z ]', '', 'g'), 1, 32) AS a
   FROM docs WHERE doc_id % 20 = 0
@@ -1926,10 +2352,11 @@ pb AS MATERIALIZED (
   SELECT doc_id - 10 AS doc_id,
          substr(regexp_replace(lower(text), '[^a-z ]', '', 'g'), 1, 32) AS b
   FROM docs WHERE doc_id % 20 = 10
-)
+),
 -- candidates sorted by (length DESC, end ASC): first element reproduces the
 -- rolling-DP scan-order tie-break (earliest maximal occurrence in a)
-SELECT pa.doc_id,
+lcs AS MATERIALIZED (
+  SELECT pa.doc_id,
        coalesce(
          list_sort(
            list_filter(
@@ -1937,7 +2364,10 @@ SELECT pa.doc_id,
                list_transform(generate_series(i, length(a)), j ->
                  {{'negl': i - j - 1, 'e': j, 'sub': a[i:j]}}))),
              x -> contains(b, x.sub)))[1].sub, '') AS lcs
-FROM pa JOIN pb USING (doc_id)
+  FROM pa JOIN pb USING (doc_id)
+)
+SELECT sa.doc_id, sa.suffix_array_csv, COALESCE(l.lcs, '') AS lcs
+FROM sa LEFT JOIN lcs l ON sa.doc_id = l.doc_id
 """,
         "ngram_jaccard": f"""
 WITH {_DOCS_DUP},
@@ -2066,10 +2496,23 @@ ranked AS (
 SELECT query_id, vec_id, ROUND(CAST(cos AS DOUBLE), 6) AS cosine
 FROM ranked WHERE rn <= 5
 """,
-        "events_hourly": """
-SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_start,
-       event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS total_value
-FROM events GROUP BY 1, 2
+        "events_rollup": """
+SELECT 'hourly' AS section,
+       CAST(date_trunc('hour', ts) AS VARCHAR) AS k1,
+       event_type AS k2, COUNT(*) AS n, ROUND(SUM(value), 6) AS total_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'top' AS section, event_type AS k1,
+       CAST(user_id AS VARCHAR) AS k2, rank AS n, total_value
+FROM (
+  SELECT event_type, user_id, total_value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY total_value DESC, user_id) AS rank
+  FROM (
+    SELECT event_type, user_id, ROUND(SUM(value), 6) AS total_value
+    FROM events GROUP BY 1, 2
+  )
+) WHERE rank <= 3
 """,
         "sessionize": """
 WITH ordered AS (
@@ -2283,22 +2726,30 @@ WITH {_B_EDGES},
 {_B_TRI},
 req(in_pos, node) AS (VALUES (0, 7), (1, 3), (2, 150), (3, 42), (4, 99999)),
 found AS (SELECT r.in_pos, r.node FROM req r JOIN bverts b ON b.node = r.node),
-pos AS (SELECT in_pos, ROW_NUMBER() OVER (ORDER BY in_pos) - 1 AS pos FROM found)
-SELECT CAST(p.pos AS BIGINT) AS pos, CAST(f.node AS BIGINT) AS node,
-       CAST(COALESCE(c.t, 0) AS BIGINT) AS triangles
-FROM found f JOIN pos p ON f.in_pos = p.in_pos LEFT JOIN cnt c ON c.node = f.node
+pos AS (SELECT in_pos, node,
+               ROW_NUMBER() OVER (ORDER BY in_pos) - 1 AS pos FROM found)
+SELECT CAST(v.node AS BIGINT) AS node,
+       CAST(COALESCE(c.t, 0) AS BIGINT) AS triangles,
+       CAST(COALESCE(p.pos, -1) AS BIGINT) AS pos
+FROM bverts v LEFT JOIN cnt c ON c.node = v.node
+              LEFT JOIN pos p ON p.node = v.node
 """,
-        "events_top_users": """
-WITH totals AS (
-  SELECT event_type, user_id, ROUND(SUM(value), 6) AS total_value
-  FROM events GROUP BY 1, 2
-),
-ranked AS (
-  SELECT event_type, user_id, total_value,
-         ROW_NUMBER() OVER (PARTITION BY event_type
-                            ORDER BY total_value DESC, user_id) AS rank
-  FROM totals
-)
-SELECT event_type, user_id, total_value, rank FROM ranked WHERE rank <= 3
+        "scc_bowtie": _scc_bowtie_sql(),
+        "kcore": _kcore_sql(),
+        "hits5": _hits_sql(5),
+        "random_walks": _walk_replay_sql(walk_length=8, seed=42),
+        "paragraph_dedup": _paragraph_dedup_sql(),
+        "clustering": f"""
+WITH {_B_EDGES},
+{_B_TRI},
+deg AS MATERIALIZED (SELECT u AS node, COUNT(*) AS d FROM bsym GROUP BY u)
+SELECT CAST(v.node AS BIGINT) AS node,
+       CAST(COALESCE(c.t, 0) AS BIGINT) AS triangles,
+       CAST(COALESCE(dg.d, 0) AS BIGINT) AS deg,
+       ROUND(CASE WHEN COALESCE(dg.d, 0) >= 2
+                  THEN 2.0 * COALESCE(c.t, 0) / (dg.d * (dg.d - 1.0))
+                  ELSE 0.0 END, 9) AS clustering
+FROM bverts v LEFT JOIN cnt c ON v.node = c.node
+              LEFT JOIN deg dg ON v.node = dg.node
 """,
     }

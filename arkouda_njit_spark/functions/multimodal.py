@@ -14,12 +14,17 @@ Arrow batch shapes). Codec status per path:
   (variable-width codes, table clears, KwKwK case, deferred-clear
   tolerant) with palette encode/decode; validated against the canonical
   minimal GIF byte sequence, not just its own round trip.
+* ``decode="jpeg"`` — a REAL, pure-numpy baseline JPEG codec
+  (functions/jpeg.py: matrix DCT, Annex-K quant/Huffman tables, byte
+  stuffing, per-file DHT on decode; 4:4:4 + grayscale — progressive and
+  subsampled streams raise).
 * ``decode="wav"`` — a REAL, pure-numpy codec for PCM-16 RIFF/WAVE audio
   (chunk-walking decode + encode + windowed-RMS features).
 * ``decode="fake"`` — deterministic content-derived stand-in so the
   distributed pipeline is testable end-to-end on arbitrary bytes.
 * ``decode="real"`` — raises NotImplementedError at the exact call site
-  where PIL/soundfile/pyav would plug in (not shipped here).
+  where PIL/soundfile/pyav would plug in (not shipped here; of the image
+  formats only exotic ones — WebP/AVIF — still need it).
 
 Schema convention:
 
@@ -115,6 +120,21 @@ def _bmp_feature(data: bytes, dim: int) -> np.ndarray:
     return folded / norm if norm > 0 else folded
 
 
+def _jpeg_feature(data: bytes, dim: int) -> np.ndarray:
+    """REAL image feature from decoded JPEG pixels: grayscale mean-pooled
+    over modulo-folded cells, L2-normalized (same shape as _bmp_feature)."""
+    from .jpeg import jpeg_decode
+
+    px = jpeg_decode(data).astype("float64")
+    gray = px.mean(axis=2).ravel() if px.ndim == 3 else px.ravel()
+    cells = np.arange(gray.size) % dim
+    folded = np.bincount(cells, weights=gray, minlength=dim)[:dim]
+    counts = np.bincount(cells, minlength=dim)[:dim]
+    folded = (folded / np.maximum(counts, 1)).astype("float32")
+    norm = np.linalg.norm(folded)
+    return folded / norm if norm > 0 else folded
+
+
 def _fake_feature(data: bytes, dim: int) -> np.ndarray:
     """Deterministic stand-in for a decoder: byte-histogram folded to dim
     via modulo binning (well-defined for ANY dim — the old truncate+reshape
@@ -142,7 +162,8 @@ def extract_features(
             if decode == "real":
                 raise NotImplementedError(
                     "real media decode requires PIL/soundfile/pyav, not present; "
-                    "use decode='bmp'/'png'/'wav' (pure-numpy codecs) or decode='fake'"
+                    "use decode='bmp'/'png'/'gif'/'jpeg'/'wav' (pure-numpy codecs) "
+                    "or decode='fake'"
                 )
             if decode == "bmp":
                 feats = [
@@ -157,6 +178,11 @@ def extract_features(
             elif decode == "gif":
                 feats = [
                     _gif_feature(bytes(b) if b is not None else b"", dim).tolist()
+                    for b in pdf["data"]
+                ]
+            elif decode == "jpeg":
+                feats = [
+                    _jpeg_feature(bytes(b) if b is not None else b"", dim).tolist()
                     for b in pdf["data"]
                 ]
             elif decode == "wav":
@@ -194,8 +220,8 @@ def resize_images(media: DataFrame, width: int, height: int, decode: str = "fake
         for pdf in batches:
             if decode == "real":
                 raise NotImplementedError(
-                    "real resize of JPEG/WebP/etc requires PIL; "
-                    "use decode='bmp' or decode='png' (pure-numpy codecs)"
+                    "real resize of WebP/AVIF/etc requires PIL; use "
+                    "decode='bmp'/'png'/'gif'/'jpeg' (pure-numpy codecs)"
                 )
             metas, datas = [], []
             for m, b in zip(pdf["meta"], pdf["data"]):
@@ -213,6 +239,15 @@ def resize_images(media: DataFrame, width: int, height: int, decode: str = "fake
                     # nearest-neighbour keeps pixels a subset of the source
                     # palette, so the resized frame re-encodes losslessly
                     b = gif_encode(bmp_resize_nearest(gif_decode(bytes(b)), width, height))
+                elif decode == "jpeg":
+                    from .jpeg import jpeg_decode, jpeg_encode
+
+                    px = jpeg_decode(bytes(b))
+                    grey = px.ndim == 2
+                    px = bmp_resize_nearest(
+                        px[:, :, None] if grey else px, width, height
+                    )
+                    b = jpeg_encode(px[:, :, 0] if grey else px)
                 metas.append(m)
                 datas.append(b)
             out = pdf.copy()

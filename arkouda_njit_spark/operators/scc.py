@@ -34,12 +34,19 @@ from ..graph import DiGraph
 from .bfs import multi_source_bfs
 
 
-def _trim(edges: DataFrame, verts: DataFrame, rounds: int = 3):
+def _trim(edges: DataFrame, verts: DataFrame, rounds: int | None = None):
     """Peel vertices with in-degree or out-degree 0 inside the subgraph:
     each is a singleton SCC. Returns (edges, verts, trimmed) — trimmed as
-    (vid, scc) rows with scc = vid."""
+    (vid, scc) rows with scc = vid.
+
+    Runs to the FIXPOINT by default (round-5: the old 3-round cap spread
+    a chain's peel over many expensive outer rounds — each with a full
+    color fixpoint + backward BFS — where peeling it upfront costs the
+    same cheap degree-filter rounds once)."""
     trimmed = None
-    for _ in range(rounds):
+    i = 0
+    while rounds is None or i < rounds:
+        i += 1
         srcs = edges.select(F.col("src").alias("vid")).distinct()
         dsts = edges.select(F.col("dst").alias("vid")).distinct()
         core = srcs.join(dsts, "vid")  # has both an in- and an out-edge
@@ -183,7 +190,7 @@ def scc_sizes(graph: DiGraph) -> DataFrame:
 BOWTIE_REGIONS = ("SCC", "IN", "OUT", "TENDRIL_IN", "TENDRIL_OUT", "TUBE", "DISC")
 
 
-def bowtie_decomposition(graph: DiGraph) -> DataFrame:
+def bowtie_decomposition(graph: DiGraph, scc: DataFrame | None = None) -> DataFrame:
     """Broder-style bow-tie map of a directed web graph: (vid, region) with
 
       * ``SCC``          — the largest strongly connected component
@@ -197,8 +204,15 @@ def bowtie_decomposition(graph: DiGraph) -> DataFrame:
 
     Three multi-source BFS sweeps total (forward/backward from the SCC,
     then forward-from-IN / backward-from-OUT for the fringe), each the
-    engine's one-action-per-level loop."""
-    scc = strongly_connected_components(graph).persist()
+    engine's one-action-per-level loop.
+
+    ``scc``: optionally a precomputed (vid, scc) table from
+    :func:`strongly_connected_components` on the same graph — callers
+    that need both the labels and the regions pass it to avoid running
+    the SCC fixpoint twice."""
+    if scc is None:
+        scc = strongly_connected_components(graph)
+    scc = scc.persist()
     giant = (
         scc.groupBy("scc").agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), "scc")

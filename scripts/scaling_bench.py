@@ -127,6 +127,37 @@ spark.stop()
 """
 
 
+NODE2VEC_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from arkouda_njit_spark.session import get_spark
+from arkouda_njit_spark import Graph
+from arkouda_njit_spark.operators import node2vec_walks
+from arkouda_njit_spark.sources.generators import rmat_graph
+
+cpus = int(sys.argv[1])
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+raw = rmat_graph(spark, scale=%(w_scale)d, edge_factor=%(w_ef)d, seed=42)
+g = Graph.from_edges(spark, raw.withColumn("weight", F.lit(1.0)))
+small = Graph.from_edges(spark, rmat_graph(spark, scale=12, edge_factor=4, seed=7)
+                         .withColumn("weight", F.lit(1.0)))
+node2vec_walks(small, walk_length=4, p=2.0, q=0.5).count()  # JIT warmup
+L = %(w_len)d
+t0 = time.time()
+walks = node2vec_walks(g, walk_length=L, walks_per_vertex=%(w_per)d,
+                       p=2.0, q=0.5, seed=1)
+steps = walks.agg(F.sum(F.size("path") - 1).alias("s")).collect()[0]["s"]
+wall = time.time() - t0
+rows = walks.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+print(json.dumps({"cpus": cpus, "wall_sec": wall, "units": int(steps),
+                  "throughput": steps / wall, "iters_per_hour": None,
+                  "partition_rows": {str(r["pid"]): r["count"] for r in rows}}))
+spark.stop()
+"""
+
+
 SCC_WORKER = r"""
 import json, sys, time
 sys.path.insert(0, %(repo)r)
@@ -517,6 +548,19 @@ JOBS = {
         },
         f"walks_rmat{os.environ.get('SPARK_GRAFT_SCALING_W_SCALE', '19')}"
         f"_len{os.environ.get('SPARK_GRAFT_SCALING_W_LEN', '8')}",
+        "walk_steps_per_sec",
+    ),
+    "node2vec": (
+        NODE2VEC_WORKER,
+        {
+            "repo": REPO,
+            "w_scale": int(os.environ.get("SPARK_GRAFT_SCALING_W_SCALE", "19")),
+            "w_ef": int(os.environ.get("SPARK_GRAFT_SCALING_W_EF", "8")),
+            "w_len": int(os.environ.get("SPARK_GRAFT_SCALING_W_LEN", "8")),
+            "w_per": int(os.environ.get("SPARK_GRAFT_SCALING_W_PER", "2")),
+        },
+        f"node2vec_rmat{os.environ.get('SPARK_GRAFT_SCALING_W_SCALE', '19')}"
+        f"_len{os.environ.get('SPARK_GRAFT_SCALING_W_LEN', '8')}_p2_q0.5",
         "walk_steps_per_sec",
     ),
     "scc": (

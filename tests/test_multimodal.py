@@ -414,3 +414,159 @@ class TestWavCodec:
             assert len(v) == 8
             assert abs(sum(x * x for x in v) - 1.0) < 1e-5  # L2-normalized
             assert sum(v[:4]) < 1e-6 < min(v[4:])  # silent half vs loud half
+
+
+class TestJpegCodec:
+    """decode='jpeg' is a REAL codec: baseline sequential DCT (T.81)."""
+
+    def _smooth(self, h, w, ch=3, seed=7):
+        # low-frequency content: baseline JPEG should be near-lossless at
+        # high quality on this (hard random noise is not a JPEG use case)
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        base = 128 + 100 * np.sin(yy / 9.0) * np.cos(xx / 11.0)
+        if ch == 1:
+            return np.clip(base, 0, 255).astype(np.uint8)
+        return np.clip(
+            np.stack([base, np.flipud(base), base.T[:h, :w] if h == w else base],
+                     axis=2), 0, 255).astype(np.uint8)
+
+    def test_constant_image_exact(self):
+        from arkouda_njit_spark.functions import jpeg_decode, jpeg_encode
+
+        for val in (0, 77, 128, 255):
+            px = np.full((16, 16, 3), val, dtype=np.uint8)
+            back = jpeg_decode(jpeg_encode(px, quality=90))
+            assert back.shape == (16, 16, 3)
+            assert int(np.abs(back.astype(int) - int(val)).max()) <= 1
+
+    def test_smooth_round_trip_bounded_error(self):
+        from arkouda_njit_spark.functions import jpeg_decode, jpeg_encode
+
+        for h, w in [(8, 8), (24, 40), (17, 23), (5, 3)]:  # incl. non-x8 pads
+            px = self._smooth(h, w)
+            data = jpeg_encode(px, quality=100)
+            assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+            back = jpeg_decode(data)
+            assert back.shape == px.shape
+            err = np.abs(back.astype(int) - px.astype(int)).max()
+            assert err <= 4, (h, w, err)  # q=100: rounding error only
+
+    def test_grayscale_round_trip(self):
+        from arkouda_njit_spark.functions import jpeg_decode, jpeg_encode
+
+        px = self._smooth(19, 31, ch=1)
+        back = jpeg_decode(jpeg_encode(px, quality=100))
+        assert back.shape == (19, 31)
+        assert np.abs(back.astype(int) - px.astype(int)).max() <= 2
+
+    def test_quality_trades_size_for_error(self):
+        from arkouda_njit_spark.functions import jpeg_decode, jpeg_encode
+
+        px = self._smooth(48, 48)
+        hi = jpeg_encode(px, quality=95)
+        lo = jpeg_encode(px, quality=20)
+        assert len(lo) < len(hi)  # coarser quant -> smaller stream
+        err_hi = np.abs(jpeg_decode(hi).astype(int) - px.astype(int)).mean()
+        err_lo = np.abs(jpeg_decode(lo).astype(int) - px.astype(int)).mean()
+        assert err_hi <= err_lo
+        assert err_lo < 20  # still recognizably the image
+
+    def test_encode_is_deterministic(self):
+        from arkouda_njit_spark.functions import jpeg_encode
+
+        px = self._smooth(16, 24)
+        assert jpeg_encode(px, quality=80) == jpeg_encode(px, quality=80)
+
+    def test_rejects_garbage_progressive_and_subsampled(self):
+        from arkouda_njit_spark.functions import jpeg_decode, jpeg_encode
+
+        with pytest.raises(ValueError):
+            jpeg_decode(b"not a jpeg .................")
+        data = bytearray(jpeg_encode(self._smooth(8, 8), quality=90))
+        sof = data.find(b"\xff\xc0")
+        assert sof > 0
+        prog = bytes(data[:sof]) + b"\xff\xc2" + bytes(data[sof + 2:])
+        with pytest.raises(NotImplementedError, match="progressive"):
+            jpeg_decode(prog)
+        sub = bytearray(data)
+        sub[sof + 11] = 0x22  # luma sampling factors 2x2 -> 4:2:0
+        with pytest.raises(NotImplementedError, match="subsampled|1x1"):
+            jpeg_decode(bytes(sub))
+
+    def test_decodes_restart_marker_stream(self):
+        # hand-assemble a 3-MCU grayscale scan with DRI=1 and RST0/RST1
+        # between MCUs — the decoder must realign, reset DC prediction and
+        # produce the same pixels as the restart-free encoding
+        import struct
+
+        from arkouda_njit_spark.functions import jpeg_decode, jpeg_encode
+        from arkouda_njit_spark.functions.jpeg import (
+            DC_LUMA_SPEC,
+            AC_LUMA_SPEC,
+            QUANT_LUMA,
+            ZIGZAG,
+            _BitWriter,
+            _blockify,
+            _encode_component,
+            _huff_codes,
+            _scaled_quant,
+            _T,
+        )
+
+        px = self._smooth(8, 24, ch=1)  # one MCU row, three MCUs
+        q = _scaled_quant(QUANT_LUMA, 90)
+        blocks = _blockify(px.astype(np.float64) - 128.0)
+        coef = np.einsum("kn,bnm,lm->bkl", _T, blocks, _T)
+        zz = np.round(coef.reshape(-1, 64)[:, ZIGZAG] / q[ZIGZAG]).astype(np.int64)
+        dc, ac = _huff_codes(*DC_LUMA_SPEC), _huff_codes(*AC_LUMA_SPEC)
+        scan = bytearray()
+        for b in range(3):
+            wtr = _BitWriter()
+            _encode_component(wtr, zz[b : b + 1], dc, ac, 0)  # pred resets
+            scan += wtr.flush()
+            if b < 2:
+                scan += bytes([0xFF, 0xD0 + b])
+
+        def seg(marker, body):
+            return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+        out = bytearray(b"\xff\xd8")
+        out += seg(0xDB, b"\x00" + bytes(q[ZIGZAG].astype(np.uint8)))
+        out += seg(0xC0, struct.pack(">BHHB", 8, 8, 24, 1) + b"\x01\x11\x00")
+        out += seg(0xC4, b"\x00" + bytes(DC_LUMA_SPEC[0]) + bytes(DC_LUMA_SPEC[1]))
+        out += seg(0xC4, b"\x10" + bytes(AC_LUMA_SPEC[0]) + bytes(AC_LUMA_SPEC[1]))
+        out += seg(0xDD, struct.pack(">H", 1))  # DRI = 1 MCU
+        out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+        out += scan + b"\xff\xd9"
+
+        with_rst = jpeg_decode(bytes(out))
+        plain = jpeg_decode(jpeg_encode(px, quality=90))
+        assert np.array_equal(with_rst, plain)
+
+    def test_spark_resize_and_features(self, spark):
+        from arkouda_njit_spark.functions import (
+            extract_features,
+            jpeg_decode,
+            jpeg_encode,
+            resize_images,
+        )
+
+        rows = [
+            (i, "image", bytes(jpeg_encode(self._smooth(16 + i, 24), quality=92)), None)
+            for i in range(4)
+        ]
+        media = spark.createDataFrame(
+            rows, "media_id long, kind string, data binary, meta map<string,string>"
+        )
+        out = {r["media_id"]: r
+               for r in resize_images(media, 12, 8, decode="jpeg").collect()}
+        assert len(out) == 4
+        for i in range(4):
+            px = jpeg_decode(bytes(out[i]["data"]))
+            assert px.shape == (8, 12, 3)
+            assert out[i]["meta"]["resized_to"] == "12x8"
+        feats = extract_features(media, dim=8, decode="jpeg").collect()
+        assert len(feats) == 4
+        for r in feats:
+            assert len(r["feature"]) == 8
+            assert abs(sum(x * x for x in r["feature"]) - 1.0) < 1e-5
