@@ -8,6 +8,7 @@ from .jaccard import jaccard_coefficients
 from .kcore import core_decomposition, k_core
 from .ktruss import k_truss, max_truss, truss_decomposition
 from .label_propagation import label_propagation
+from .louvain import louvain_communities, modularity
 from .pagerank import pagerank, personalized_pagerank
 from .scc import bowtie_decomposition, scc_sizes, strongly_connected_components
 from .squares import squares
@@ -42,7 +43,9 @@ __all__ = [
     "k_core",
     "k_truss",
     "label_propagation",
+    "louvain_communities",
     "max_truss",
+    "modularity",
     "pagerank",
     "personalized_pagerank",
     "bowtie_decomposition",
