@@ -51,6 +51,7 @@ from arkouda_njit_spark.operators import (
     bfs_layers,
     connected_components,
     label_propagation,
+    louvain_communities,
     pagerank,
     squares,
     triangle_count,
@@ -353,17 +354,18 @@ def q_complete_graph(spark, sf_dir):
 
 
 def q_text_stats(spark, sf_dir):
-    """token_count + quality_score + language_id in ONE row per document
-    (round-5 registry consolidation — all three are doc_id-keyed column
-    pipelines over the same table)."""
+    """token_count + quality_score + language_id + shingle fingerprint in
+    ONE row per document (round-5 registry consolidation — all four are
+    doc_id-keyed column pipelines over the same table)."""
     docs = _docs(spark, sf_dir)
     return (
-        language_id(quality_score(token_count(docs)))
+        fingerprint(language_id(quality_score(token_count(docs))), n=3)
         .select(
             F.col("doc_id").cast("long"),
             F.col("n_tokens").cast("long"),
             F.round("quality", 6).alias("quality"),
             F.col("lang_pred"),
+            F.col("fingerprint"),
         )
     )
 
@@ -376,9 +378,30 @@ def q_exact_dups(spark, sf_dir):
     )
 
 
-def q_fingerprint(spark, sf_dir):
-    return fingerprint(_docs(spark, sf_dir), n=3).select(
-        F.col("doc_id").cast("long"), F.col("fingerprint")
+def q_louvain(spark, sf_dir):
+    """Louvain communities on a deterministic ring of cliques (12 cliques
+    of 12 vertices, single bridge edges): the modularity optimum is exactly
+    the cliques (the resolution limit needs ~sqrt(2m) ≈ 40 cliques before
+    merged pairs win), and the engine's canonical label is each clique's
+    minimum vid — a mathematical oracle computed end-to-end by the
+    distributed kernel (operators/louvain.py). Generated-graph query like
+    complete_graph: the input is identical in both engines by construction.
+    """
+    n_cliques, size = 12, 12
+    edges = [
+        (b * size + a, b * size + c)
+        for b in range(n_cliques)
+        for a in range(size)
+        for c in range(size)
+        if a < c
+    ]
+    edges += [(b * size, ((b + 1) % n_cliques) * size + 1) for b in range(n_cliques)]
+    df = spark.createDataFrame(edges, "src long, dst long").withColumn(
+        "weight", F.lit(1.0)
+    )
+    g = Graph.from_edges(spark, df, weighted=True)
+    return louvain_communities(g, max_sweeps=12).select(
+        F.col("vid").cast("long"), F.col("community").cast("long")
     )
 
 
@@ -1193,7 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complete_graph": q_complete_graph,
         "text_stats": q_text_stats,
         "exact_dups": q_exact_dups,
-        "fingerprint": q_fingerprint,
+        "louvain": q_louvain,
         "strings": q_strings,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
@@ -2287,7 +2310,8 @@ SELECT a.range AS src, b.range AS dst
 FROM range(8) a, range(8) b WHERE a.range < b.range
 """,
         "text_stats": f"""
-WITH {_DOCS},
+WITH {_SHINGLES},
+fp AS (SELECT doc_id, MIN(md5(s)) AS fingerprint FROM sh GROUP BY doc_id),
 m AS (
   SELECT doc_id,
          length(text) AS nc,
@@ -2315,8 +2339,9 @@ SELECT doc_id,
   CASE WHEN GREATEST(h_en, h_de, h_fr) = 0 THEN 'und'
        WHEN h_de = GREATEST(h_en, h_de, h_fr) THEN 'de'
        WHEN h_en = GREATEST(h_en, h_de, h_fr) THEN 'en'
-       ELSE 'fr' END AS lang_pred
-FROM hits
+       ELSE 'fr' END AS lang_pred,
+  fp.fingerprint
+FROM hits JOIN fp USING (doc_id)
 """,
         "exact_dups": f"""
 WITH {_DOCS_DUP}
@@ -2325,9 +2350,10 @@ SELECT md5(text) AS content_hash,
        array_to_string(list_sort(list(doc_id)), ',') AS doc_ids_csv
 FROM docsdup GROUP BY md5(text) HAVING COUNT(*) >= 2
 """,
-        "fingerprint": f"""
-WITH {_SHINGLES}
-SELECT doc_id, MIN(md5(s)) AS fingerprint FROM sh GROUP BY doc_id
+        "louvain": """
+SELECT CAST(range AS BIGINT) AS vid,
+       CAST((range // 12) * 12 AS BIGINT) AS community
+FROM range(144)
 """,
         "strings": f"""
 WITH {_DOCS},

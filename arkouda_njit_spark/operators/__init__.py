@@ -4,6 +4,7 @@ from .clustering import clustering_coefficients, degree_assortativity, transitiv
 from .connected_components import component_sizes, connected_components
 from .diameter import diameter
 from .hits import hits
+from .betweenness import betweenness_centrality
 from .jaccard import jaccard_coefficients
 from .kcore import core_decomposition, k_core
 from .ktruss import k_truss, max_truss, truss_decomposition
@@ -40,6 +41,7 @@ __all__ = [
     "hits",
     "jaccard_coefficients",
     "core_decomposition",
+    "betweenness_centrality",
     "k_core",
     "k_truss",
     "label_propagation",

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 _STRIP_BROKEN = False
+_INSTALLED = False
 
 
 def flat_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
@@ -48,8 +49,47 @@ def flat_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     eager ``LogicalRDD``); the leaf's statistics are reset to the default
     instead of carrying the pre-checkpoint plan's join-size product.
     """
+    return _stripped(df.localCheckpoint(eager=eager))
+
+
+def install_flat_checkpoints() -> None:
+    """Make every ``DataFrame.localCheckpoint`` in the process stats-safe.
+
+    The engine's kernels checkpoint per iteration in ~70 places (fixpoint
+    loops, frontier expansions, streaming micro-batch state); every one of
+    them compounds the inherited size estimate the same way, and a missed
+    site is a latent multi-minute optimizer stall that only shows up at
+    high iteration counts. Wrapping the classic ``DataFrame.localCheckpoint``
+    once (called from the package ``__init__``) applies the strip uniformly
+    — semantics are unchanged, only the leaf's *estimated* Statistics are
+    reset, and AQE still re-plans from real runtime sizes at shuffle
+    boundaries. Connect-mode DataFrames are untouched (no local JVM plan).
+    Idempotent; falls back to the unwrapped behavior if Spark's internals
+    move (same guard as :func:`flat_checkpoint`).
+    """
+    global _INSTALLED
+    if _INSTALLED:
+        return
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as ClassicDataFrame
+    except ImportError:  # pragma: no cover - connect-only installs
+        _INSTALLED = True
+        return
+    original = ClassicDataFrame.localCheckpoint
+
+    def localCheckpoint(self, eager: bool = True):  # noqa: N802 - pyspark name
+        return _stripped(original(self, eager=eager))
+
+    localCheckpoint.__doc__ = (original.__doc__ or "") + (
+        "\n\n.. note:: wrapped by arkouda_njit_spark.plans.checkpoints to"
+        " drop inherited originStats (see that module's docstring)."
+    )
+    ClassicDataFrame.localCheckpoint = localCheckpoint
+    _INSTALLED = True
+
+
+def _stripped(ck: DataFrame) -> DataFrame:
     global _STRIP_BROKEN
-    ck = df.localCheckpoint(eager=eager)
     if _STRIP_BROKEN:
         return ck
     try:

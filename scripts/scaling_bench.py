@@ -524,6 +524,38 @@ def run_at(worker: str, cpus: int, params: dict) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+LOUVAIN_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from arkouda_njit_spark.session import get_spark
+from arkouda_njit_spark import Graph
+from arkouda_njit_spark.operators import louvain_communities
+from arkouda_njit_spark.sources.generators import rmat_graph
+
+cpus = int(sys.argv[1])
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+raw = rmat_graph(spark, scale=%(lv_scale)d, edge_factor=%(lv_ef)d, seed=42)
+g = Graph.from_edges(spark, raw.withColumn("weight", F.lit(1.0)))
+edges = g.edges.count()
+small = Graph.from_edges(spark, rmat_graph(spark, scale=10, edge_factor=4, seed=7)
+                         .withColumn("weight", F.lit(1.0)))
+louvain_communities(small, max_levels=1, max_sweeps=2)  # JIT warmup
+# fixed sweep budget: the damped sweeps are deterministic, so both
+# parallelism levels execute the identical sequence of join/agg jobs
+t0 = time.time()
+comm = louvain_communities(g, max_levels=%(lv_levels)d, max_sweeps=%(lv_sweeps)d)
+n = comm.count()
+wall = time.time() - t0
+rows = comm.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+print(json.dumps({"cpus": cpus, "wall_sec": wall, "units": int(edges),
+                  "throughput": edges / wall, "iters_per_hour": None,
+                  "partition_rows": {str(r["pid"]): r["count"] for r in rows}}))
+spark.stop()
+"""
+
+
 JOBS = {
     "pagerank": (
         PAGERANK_WORKER,
@@ -562,6 +594,20 @@ JOBS = {
         f"node2vec_rmat{os.environ.get('SPARK_GRAFT_SCALING_W_SCALE', '19')}"
         f"_len{os.environ.get('SPARK_GRAFT_SCALING_W_LEN', '8')}_p2_q0.5",
         "walk_steps_per_sec",
+    ),
+    "louvain": (
+        LOUVAIN_WORKER,
+        {
+            "repo": REPO,
+            "lv_scale": int(os.environ.get("SPARK_GRAFT_SCALING_LV_SCALE", "18")),
+            "lv_ef": int(os.environ.get("SPARK_GRAFT_SCALING_LV_EF", "8")),
+            "lv_levels": int(os.environ.get("SPARK_GRAFT_SCALING_LV_LEVELS", "2")),
+            "lv_sweeps": int(os.environ.get("SPARK_GRAFT_SCALING_LV_SWEEPS", "6")),
+        },
+        f"louvain_rmat{os.environ.get('SPARK_GRAFT_SCALING_LV_SCALE', '18')}"
+        f"_l{os.environ.get('SPARK_GRAFT_SCALING_LV_LEVELS', '2')}"
+        f"s{os.environ.get('SPARK_GRAFT_SCALING_LV_SWEEPS', '6')}",
+        "edges_per_sec",
     ),
     "scc": (
         SCC_WORKER,

@@ -25,15 +25,17 @@ def test_strips_inherited_stats(spark):
         (F.col("id") % 100).alias("dst"), F.col("id").alias("v")
     )
     joined = a.join(b, "dst")
-    plain = joined.localCheckpoint()
+    plain = joined.localCheckpoint()  # also wrapped once the package imports
     flat = flat_checkpoint(joined)
     assert not C._STRIP_BROKEN, "LogicalRDD internals moved; fix _strip_origin_stats"
-    # plain carries the join-product estimate; flat resets to the default
+    # the pre-checkpoint plan carries a join-product estimate; both
+    # checkpoint paths must reset it to the default leaf size
     default_size = int(spark.conf.get("spark.sql.defaultSizeInBytes", str(2**63 - 1)))
+    assert _size_in_bytes(joined) != default_size
     assert _size_in_bytes(flat) == default_size
-    assert _size_in_bytes(plain) != default_size
+    assert _size_in_bytes(plain) == default_size
     # same rows, same schema — only the estimate changed
-    assert flat.schema == plain.schema
+    assert flat.schema == plain.schema == joined.schema
     assert sorted(map(tuple, flat.collect())) == sorted(map(tuple, plain.collect()))
 
 
@@ -66,6 +68,19 @@ def test_no_compounding_across_iterations(spark):
         sizes.append(_size_in_bytes(state))
     # every iteration's leaf estimate is identical — zero compounding
     assert len(set(sizes)) == 1, sizes
+
+
+def test_install_covers_plain_method(spark):
+    """importing the package wraps DataFrame.localCheckpoint itself, so all
+    ~70 kernel call sites (and future ones) are stats-safe without edits."""
+    a = spark.range(1000).select(
+        F.col("id").alias("src"), (F.col("id") * 3 % 50).alias("dst")
+    )
+    b = spark.range(300).select((F.col("id") % 50).alias("dst"))
+    default_size = int(spark.conf.get("spark.sql.defaultSizeInBytes", str(2**63 - 1)))
+    ck = a.join(b, "dst").localCheckpoint()  # plain method, post-install
+    assert _size_in_bytes(ck) == default_size
+    assert not C._STRIP_BROKEN
 
 
 def test_lazy_flat_checkpoint(spark):
