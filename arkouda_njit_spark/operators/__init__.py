@@ -5,6 +5,7 @@ from .connected_components import component_sizes, connected_components
 from .diameter import diameter
 from .hits import hits
 from .betweenness import betweenness_centrality
+from .eigenvector import eigenvector_centrality
 from .jaccard import jaccard_coefficients
 from .kcore import core_decomposition, k_core
 from .ktruss import k_truss, max_truss, truss_decomposition
@@ -13,6 +14,7 @@ from .louvain import louvain_communities, modularity
 from .pagerank import pagerank, personalized_pagerank
 from .scc import bowtie_decomposition, scc_sizes, strongly_connected_components
 from .squares import squares
+from .sssp import multi_source_shortest_paths, shortest_paths
 from .triangle_centrality import triangle_centrality
 from .subgraph_search import (
     subgraph_isomorphism,
@@ -42,6 +44,7 @@ __all__ = [
     "jaccard_coefficients",
     "core_decomposition",
     "betweenness_centrality",
+    "eigenvector_centrality",
     "k_core",
     "k_truss",
     "label_propagation",
@@ -52,6 +55,8 @@ __all__ = [
     "personalized_pagerank",
     "bowtie_decomposition",
     "scc_sizes",
+    "multi_source_shortest_paths",
+    "shortest_paths",
     "squares",
     "strongly_connected_components",
     "subgraph_isomorphism",
