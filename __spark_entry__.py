@@ -332,12 +332,27 @@ def q_lpa4(spark, sf_dir):
 
 
 def q_bfs(spark, sf_dir):
+    """BFS hop depth (operators/bfs.py) PLUS weighted shortest-path
+    distance (operators/sssp.py, frontier label-correcting) from the same
+    min-label source of undirected graph A — merged into one slot
+    (round-5 registry consolidation; both are single-source distance
+    vectors of the same graph, and graph A's summed duplicate weights
+    make the two genuinely differ). Oracle = recursive-CTE BFS plus an
+    unrolled Bellman–Ford fixpoint."""
+    from arkouda_njit_spark.operators import shortest_paths
+
     g = _graph_a(spark, sf_dir)
     source = g.vertices.agg(F.min("label")).collect()[0][0]
+    wdist = shortest_paths(g, source).select("vid", "dist")
     return (
         bfs_layers(g, source)
+        .join(wdist, "vid", "left")
         .join(_labels(g), "vid")
-        .select(F.col("node").cast("long"), F.col("depth").cast("long"))
+        .select(
+            F.col("node").cast("long"),
+            F.col("depth").cast("long"),
+            F.round(F.coalesce("dist", F.lit(-1.0)), 6).alias("wdist"),
+        )
     )
 
 
@@ -1091,10 +1106,13 @@ def q_kcore(spark, sf_dir):
 
 
 def q_hits5(spark, sf_dir):
-    """HITS hubs/authorities, 5 fixed alternating sum-normalized
-    iterations on directed graph A (operators/hits.py); oracle = unrolled
-    iterations like the PageRank oracle."""
-    from arkouda_njit_spark.operators import hits
+    """HITS hubs/authorities (5 fixed alternating sum-normalized
+    iterations, operators/hits.py) PLUS eigenvector centrality (5 power
+    iterations on A^T + I, operators/eigenvector.py) on the same directed
+    graph A — merged into one slot (round-5 registry consolidation; both
+    are spectral per-vertex scores of the same digraph). Oracle =
+    unrolled iterations like the PageRank oracle."""
+    from arkouda_njit_spark.operators import eigenvector_centrality, hits
 
     li = _read(spark, sf_dir, "lineitem")
     dg = DiGraph.from_edges(
@@ -1107,12 +1125,15 @@ def q_hits5(spark, sf_dir):
         num_partitions=_GRAPH_PARTITIONS,
     )
     out = hits(dg, max_iterations=5, tol=0.0)
+    eig = eigenvector_centrality(dg, max_iterations=5, tol=0.0)
     return (
-        out.join(dg.vertices.select("vid", F.col("label").alias("node")), "vid")
+        out.join(eig, "vid")
+        .join(dg.vertices.select("vid", F.col("label").alias("node")), "vid")
         .select(
             F.col("node").cast("long"),
             F.round("hub", 9).alias("hub"),
             F.round("auth", 9).alias("auth"),
+            F.round("eigenvector", 9).alias("eig"),
         )
     )
 
@@ -2103,10 +2124,62 @@ FROM verts v
     )
 
 
+def _bfs_sssp_sql(bf_rounds: int) -> str:
+    """q_bfs replay: recursive-CTE hop BFS plus ``bf_rounds`` unrolled
+    Bellman–Ford relaxations over the weighted symmetric graph-A edge
+    table (weight = duplicate multiplicity, exactly Graph.from_edges'
+    symmetrize+sum). The fixpoint lands by round 5 at sf0.001 and round 4
+    at sf0.01 (probed); 8 rounds is the safety margin, and
+    tests/test_entry.py pins Spark == oracle on both SFs."""
+    parts = [
+        f"""WITH RECURSIVE {_A_EDGES},
+wsym AS MATERIALIZED (
+  SELECT u, v, SUM(w) AS w FROM (
+    SELECT l_partkey AS u, 100000 + l_suppkey AS v, 1.0 AS w FROM lineitem
+    UNION ALL
+    SELECT 100000 + l_suppkey AS u, l_partkey AS v, 1.0 AS w FROM lineitem
+  ) GROUP BY u, v
+),
+src AS (SELECT MIN(u) AS s FROM edges),
+bf(node, d) AS (
+  SELECT s, 0 FROM src
+  UNION
+  SELECT s.v, bf.d + 1 FROM bf JOIN sym s ON s.u = bf.node WHERE bf.d < 15
+),
+bfd AS MATERIALIZED (
+  SELECT v.node, COALESCE(MIN(bf.d), -1) AS depth
+  FROM verts v LEFT JOIN bf ON v.node = bf.node
+  GROUP BY v.node
+),
+d0 AS MATERIALIZED (SELECT s AS node, 0.0 AS dist FROM src)"""
+    ]
+    for i in range(1, bf_rounds + 1):
+        parts.append(
+            f""",
+d{i} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{i-1}
+    UNION ALL
+    SELECT e.v AS node, d.dist + e.w FROM d{i-1} d JOIN wsym e ON e.u = d.node
+  ) GROUP BY node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT b.node, b.depth, ROUND(COALESCE(d.dist, -1.0), 6) AS wdist
+FROM bfd b LEFT JOIN d{bf_rounds} d ON b.node = d.node
+"""
+    )
+    return "".join(parts)
+
+
 def _hits_sql(iters: int) -> str:
     """q_hits5 replay: unrolled alternating sum-normalized HITS updates
     over the distinct directed graph-A edges (operators/hits.py
-    semantics; same unrolled-CTE family as the PageRank oracle)."""
+    semantics; same unrolled-CTE family as the PageRank oracle), plus an
+    unrolled eigenvector power iteration (x' = L2-normalize(x + A^T x),
+    operators/eigenvector.py) over the same edge set — merged like the
+    Spark-side q_hits5."""
     parts = [
         """WITH e AS MATERIALIZED (
   SELECT DISTINCT l_partkey AS u, 100000 + l_suppkey AS v FROM lineitem
@@ -2116,7 +2189,8 @@ nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
 h0 AS MATERIALIZED (
   SELECT node, 1.0/(SELECT n FROM nn) AS hub, 1.0/(SELECT n FROM nn) AS auth
   FROM verts
-)"""
+),
+x0 AS MATERIALIZED (SELECT node, 1.0/(SELECT n FROM nn) AS x FROM verts)"""
     ]
     for i in range(1, iters + 1):
         parts.append(
@@ -2150,10 +2224,28 @@ h{i} AS MATERIALIZED (
               THEN hf.hub / (SELECT t FROM ht{i}) ELSE 0.0 END AS hub,
          an.auth
   FROM hf{i} hf JOIN an{i} an ON hf.node = an.node
+),
+xr{i} AS (
+  SELECT e.v AS node, SUM(p.x) AS c
+  FROM e JOIN x{i-1} p ON e.u = p.node GROUP BY e.v
+),
+xf{i} AS MATERIALIZED (
+  SELECT v.node, x.x + COALESCE(xr.c, 0.0) AS x
+  FROM verts v JOIN x{i-1} x ON v.node = x.node
+  LEFT JOIN xr{i} xr ON v.node = xr.node
+),
+xt{i} AS (SELECT SQRT(SUM(x * x)) AS t FROM xf{i}),
+x{i} AS MATERIALIZED (
+  SELECT node, CASE WHEN (SELECT t FROM xt{i}) > 0
+                    THEN x / (SELECT t FROM xt{i}) ELSE 0.0 END AS x
+  FROM xf{i}
 )"""
         )
     parts.append(
-        f"\nSELECT node, ROUND(hub, 9) AS hub, ROUND(auth, 9) AS auth FROM h{iters}"
+        f"""
+SELECT h.node, ROUND(h.hub, 9) AS hub, ROUND(h.auth, 9) AS auth,
+       ROUND(x.x, 9) AS eig
+FROM h{iters} h JOIN x{iters} x ON h.node = x.node"""
     )
     return "".join(parts)
 
@@ -2293,18 +2385,7 @@ SELECT CAST(COALESCE(SUM(c * (c - 1)), 0) / 4 AS BIGINT) AS squares FROM wed
             " COUNT(*) OVER (PARTITION BY comp) AS size FROM cc12",
         ),
         "lpa4": _unrolled_lpa(4),
-        "bfs": f"""
-WITH RECURSIVE {_A_EDGES},
-src AS (SELECT MIN(u) AS s FROM edges),
-bf(node, d) AS (
-  SELECT s, 0 FROM src
-  UNION
-  SELECT s.v, bf.d + 1 FROM bf JOIN sym s ON s.u = bf.node WHERE bf.d < 15
-)
-SELECT v.node, COALESCE(MIN(bf.d), -1) AS depth
-FROM verts v LEFT JOIN bf ON v.node = bf.node
-GROUP BY v.node
-""",
+        "bfs": _bfs_sssp_sql(8),
         "complete_graph": """
 SELECT a.range AS src, b.range AS dst
 FROM range(8) a, range(8) b WHERE a.range < b.range
