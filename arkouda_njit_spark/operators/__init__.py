@@ -3,7 +3,9 @@ from .centrality import harmonic_centrality
 from .clustering import clustering_coefficients, degree_assortativity, transitivity
 from .connected_components import component_sizes, connected_components
 from .diameter import diameter
+from .coloring import greedy_color, maximal_independent_set
 from .hits import hits
+from .hyperball import effective_diameter, hyperball, neighbourhood_function
 from .betweenness import betweenness_centrality
 from .eigenvector import eigenvector_centrality
 from .jaccard import jaccard_coefficients
@@ -40,7 +42,12 @@ __all__ = [
     "degree_assortativity",
     "transitivity",
     "diameter",
+    "greedy_color",
+    "maximal_independent_set",
     "hits",
+    "hyperball",
+    "neighbourhood_function",
+    "effective_diameter",
     "jaccard_coefficients",
     "core_decomposition",
     "betweenness_centrality",

@@ -65,33 +65,50 @@ def _trim(edges: DataFrame, verts: DataFrame, rounds: int | None = None):
     return edges, verts, trimmed
 
 
-def _forward_colors(edges: DataFrame, verts: DataFrame, max_rounds: int = 200) -> DataFrame:
+def _forward_colors(
+    edges: DataFrame,
+    verts: DataFrame,
+    max_rounds: int = 200,
+    jump_after: int = 8,
+) -> DataFrame:
     """(vid, color) with color = max vid of any forward-ancestor (incl. v).
 
     ONE action per round: colors only ever increase, so Σ color is
     strictly monotone until the fixpoint — an unchanged sum IS
     convergence, and the sum job doubles as the materializing action for
-    the round's checkpoint (no separate changed-rows join)."""
+    the round's checkpoint (no separate changed-rows join).
+
+    After ``jump_after`` rounds a pointer-jumping shortcut joins in
+    color(color(v)) alongside the one-hop edge push — on a chain whose
+    colors increase along it, the dominant color then doubles its reach
+    per round instead of advancing one hop, so long-chain inputs converge
+    in O(jump_after + log chain) rounds instead of O(chain). It is GATED
+    rather than always-on because the jump is a V×V self-join per round
+    and web-graph colorings converge in a handful of rounds anyway:
+    measured on the 1.2M-page bow-tie workload, jump-always cost +30%
+    wall at N=2 for zero round savings (BASELINE.md round-5 SCC note) —
+    the bill only pays for itself once the push rounds have stalled,
+    which is exactly the long-chain regime."""
     color = verts.select("vid", F.col("vid").alias("color")).localCheckpoint(eager=True)
     prev_sum = None
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         pushed = (
             edges.join(color.withColumnRenamed("vid", "src"), "src")
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.max("color").alias("in_color"))
         )
-        # pointer-jumping shortcut (round-4 verdict #5): alongside the
-        # one-hop edge push, propagate color(color(v)) — on a chain whose
-        # colors increase along it, the dominant color doubles its reach
-        # per round instead of advancing one hop, so long-chain inputs
-        # converge in O(log chain) rounds instead of O(chain).
-        jump = color.join(
-            color.select(F.col("vid").alias("color"), F.col("color").alias("jc")),
-            "color",
-            "left",
-        ).select("vid", "color", "jc")
+        if rnd >= jump_after:
+            state = color.join(
+                color.select(
+                    F.col("vid").alias("color"), F.col("color").alias("jc")
+                ),
+                "color",
+                "left",
+            ).select("vid", "color", "jc")
+        else:
+            state = color.select("vid", "color", F.lit(None).cast("long").alias("jc"))
         nxt = (
-            jump.join(pushed, "vid", "left")
+            state.join(pushed, "vid", "left")
             .select(
                 "vid",
                 F.greatest(

@@ -168,6 +168,81 @@ def extract_links(pages: DataFrame) -> DataFrame:
     return pages.select("url", "html").mapInPandas(extract, schema=_HREF_SCHEMA)
 
 
+_ANCHOR_SCHEMA = "url string, href string, anchor string"
+
+
+def extract_anchors(pages: DataFrame) -> DataFrame:
+    """(url, href, anchor) rows — one per ``<a href="...">anchor</a>``,
+    the anchor's inner text with tags stripped. Same vectorized Arrow
+    path as :func:`extract_links` (findall over a pandas string series,
+    repeat/concatenate instead of explode; no per-row Python)."""
+
+    def extract(batches):
+        import re
+
+        import numpy as np
+
+        pat = re.compile(r'<a\s+href="([^"]+)"[^>]*>(.*?)</a>', re.S)
+        tag = re.compile(r"<[^>]+>")
+        for pdf in batches:
+            lists = (
+                pdf["html"]
+                .fillna(b"")
+                .str.decode("utf-8", errors="replace")
+                .str.findall(pat)
+            )
+            counts = lists.str.len().to_numpy()
+            pairs = [p for row in lists for p in row]
+            hrefs = np.array([p[0] for p in pairs], dtype=object)
+            anchors = np.array(
+                [tag.sub(" ", p[1]).strip() for p in pairs], dtype=object
+            )
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"].to_numpy().repeat(counts),
+                    "href": hrefs,
+                    "anchor": anchors,
+                }
+            )
+
+    return pages.select("url", "html").mapInPandas(extract, schema=_ANCHOR_SCHEMA)
+
+
+def anchor_text_table(pages: DataFrame, k: int = 10) -> DataFrame:
+    """Per-target anchor-term index: (target, term, cnt, rank) — the top-k
+    terms, by count then lexicographically, among all anchor texts of
+    links pointing AT ``target`` (self-links excluded). The classic
+    link-graph search-indexing byproduct: how the web describes a page.
+
+    Scale shape: term counts aggregate map-side on (target, term) — a
+    popular page's millions of in-anchors collapse to its distinct-term
+    count before anything shuffles — and the top-k window runs over the
+    already-aggregated count table, so no stage ever holds a hub's raw
+    fan-in as rows."""
+    from pyspark.sql import Window
+
+    anchors = extract_anchors(pages)
+    target = canonicalize_url(F.col("href"))
+    terms = (
+        anchors.select(
+            target.alias("target"),
+            canonicalize_url(F.col("url")).alias("src"),
+            F.explode(
+                F.split(F.lower(F.col("anchor")), r"[^a-z0-9]+")
+            ).alias("term"),
+        )
+        .filter((F.col("term") != "") & (F.col("target") != F.col("src")))
+        .groupBy("target", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("target").orderBy(F.desc("cnt"), F.asc("term"))
+    return (
+        terms.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("target", "term", "cnt", "rank")
+    )
+
+
 def _extract_text_udf():
     """Deterministic html→text: first <p>…</p> body. Pure function of the
     bytes ⇒ byte-identical per url across runs/partitionings (input_hint

@@ -217,6 +217,38 @@ spark.stop()
 """
 
 
+HYPERBALL_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from arkouda_njit_spark.session import get_spark
+from arkouda_njit_spark import Graph
+from arkouda_njit_spark.operators import hyperball
+from arkouda_njit_spark.sources.generators import rmat_graph
+
+cpus = int(sys.argv[1])
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+raw = rmat_graph(spark, scale=%(hb_scale)d, edge_factor=%(hb_ef)d, seed=42)
+g = Graph.from_edges(spark, raw.withColumn("weight", F.lit(1.0)))
+edges = g.edges.count()
+small = Graph.from_edges(spark, rmat_graph(spark, scale=13, edge_factor=4, seed=7)
+                         .withColumn("weight", F.lit(1.0)))
+hyperball(small, log2m=%(hb_log2m)d).balls.count()  # JIT warmup
+t0 = time.time()
+res = hyperball(g, log2m=%(hb_log2m)d)
+wall = time.time() - t0
+# one "unit" = one edge relaxed in one round (every round scans all edges)
+units = edges * res.rounds
+rows = res.balls.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+print(json.dumps({"cpus": cpus, "wall_sec": wall, "units": units,
+                  "throughput": units / wall, "iters_per_hour": None,
+                  "rounds": res.rounds, "nf_final": res.nf[-1][1],
+                  "partition_rows": {str(r["pid"]): r["count"] for r in rows}}))
+spark.stop()
+"""
+
+
 PARADEDUP_WORKER = r"""
 import json, sys, time
 sys.path.insert(0, %(repo)r)
@@ -635,6 +667,18 @@ JOBS = {
         {"repo": REPO, "n_docs": N_DOCS},
         f"paragraph_dedup_{N_DOCS}docs",
         "docs_per_sec",
+    ),
+    "hyperball": (
+        HYPERBALL_WORKER,
+        {
+            "repo": REPO,
+            "hb_scale": int(os.environ.get("SPARK_GRAFT_SCALING_HB_SCALE", "19")),
+            "hb_ef": int(os.environ.get("SPARK_GRAFT_SCALING_HB_EF", "8")),
+            "hb_log2m": int(os.environ.get("SPARK_GRAFT_SCALING_HB_LOG2M", "5")),
+        },
+        f"hyperball_rmat{os.environ.get('SPARK_GRAFT_SCALING_HB_SCALE', '19')}"
+        f"_m{1 << int(os.environ.get('SPARK_GRAFT_SCALING_HB_LOG2M', '5'))}",
+        "edge_rounds_per_sec",
     ),
     "webpipeline": (
         WEBPIPE_WORKER,

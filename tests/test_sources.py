@@ -351,3 +351,65 @@ def test_warc_date_fractional_seconds(spark, tmp_path):
     assert rows["https://a.example/f"] is not None
     assert rows["https://a.example/f"].second == 1
     assert rows["https://b.example/p"].second == 2
+
+
+# -- anchor text ------------------------------------------------------------
+
+
+def _anchor_pages(spark):
+    rows = [
+        (
+            "https://a.example/1",
+            (
+                '<html><body><a href="https://T.example/x#frag">Spark <b>Graph</b> '
+                'Engine</a><a href="https://t.example/x">graph engine!</a>'
+                '<a href="https://other.example/">misc</a></body></html>'
+            ).encode(),
+        ),
+        (
+            "https://b.example/2",
+            '<a href="https://t.example/x">ENGINE</a>'.encode(),
+        ),
+        (
+            # self-link after canonicalization: excluded from the table
+            "https://t.example/x",
+            '<a href="https://t.example/x">me</a>'.encode(),
+        ),
+    ]
+    return spark.createDataFrame(rows, "url string, html binary")
+
+
+def test_extract_anchors_strips_tags(spark):
+    from arkouda_njit_spark.sources import extract_anchors
+
+    rows = extract_anchors(_anchor_pages(spark)).collect()
+    by = {(r["url"], r["href"]): r["anchor"] for r in rows}
+    assert by[("https://a.example/1", "https://T.example/x#frag")] == (
+        "Spark  Graph  Engine"
+    )
+    assert by[("https://b.example/2", "https://t.example/x")] == "ENGINE"
+    assert len(rows) == 5
+
+
+def test_anchor_text_table_topk(spark):
+    from arkouda_njit_spark.sources import anchor_text_table
+
+    tbl = anchor_text_table(_anchor_pages(spark), k=2).collect()
+    tgt = [r for r in tbl if r["target"] == "https://t.example/x"]
+    # counts: engine 3 (two pages, case/punct-normalized), graph 2,
+    # spark 1, me excluded (self-link) — top-2 = engine, graph
+    got = {(r["term"], r["cnt"], r["rank"]) for r in tgt}
+    assert got == {("engine", 3, 1), ("graph", 2, 2)}
+    # the fragment-bearing href canonicalized into the same target
+    assert not any("frag" in r["target"] for r in tbl)
+
+
+def test_anchor_table_on_generated_pages(spark, pages):
+    from arkouda_njit_spark.sources import anchor_text_table
+
+    tbl = anchor_text_table(pages, k=3)
+    rows = tbl.collect()
+    assert rows, "generated pages carry anchors"
+    # generator anchors are all the single letter 'l'
+    assert {r["term"] for r in rows} == {"l"}
+    assert all(r["rank"] == 1 for r in rows)
