@@ -4,6 +4,7 @@ from .clustering import clustering_coefficients, degree_assortativity, transitiv
 from .connected_components import component_sizes, connected_components
 from .diameter import diameter
 from .coloring import greedy_color, maximal_independent_set
+from .densest import densest_subgraph
 from .hits import hits
 from .hyperball import effective_diameter, hyperball, neighbourhood_function
 from .betweenness import betweenness_centrality
@@ -44,6 +45,7 @@ __all__ = [
     "diameter",
     "greedy_color",
     "maximal_independent_set",
+    "densest_subgraph",
     "hits",
     "hyperball",
     "neighbourhood_function",

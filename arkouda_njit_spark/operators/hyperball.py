@@ -159,6 +159,9 @@ def hyperball(
         edges = edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
         )
+    # materialize the deduped edge view once: it is joined every round and
+    # re-running its distinct exchange per round would double round cost
+    edges = edges.localCheckpoint(eager=True)
 
     # -- init: each vertex's counter holds only itself --------------------
     h = F.xxhash64(F.col("vid"), F.lit(seed))
@@ -231,6 +234,7 @@ def hyperball(
         )
         row = nxt.agg(*agg_exprs).collect()[0]
         walls.append(time.time() - t0)
+        state.unpersist()  # nxt is materialized; drop the old generation
         state = nxt
         if row["regsum"] == prev_sum:
             nf.append((t, nf[-1][1]))  # curve is flat at the fixpoint
@@ -245,6 +249,7 @@ def hyperball(
                 "explicitly to run a truncated sweep"
             )
 
+    edges.unpersist()
     balls = state.select(
         "vid", F.col("est").alias("ball"), F.col("hc").alias("harmonic")
     )

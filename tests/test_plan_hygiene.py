@@ -316,3 +316,32 @@ def test_repetition_signals_single_stage_no_exchange(spark):
     )
     plan = _plan(repetition_signals(docs))
     assert "Exchange" not in plan, plan
+
+
+def test_anchor_term_counts_combine_map_side(spark):
+    """anchor_text_table's scale claim: (target, term) counts partial-
+    aggregate BEFORE the exchange, so a popular page's in-anchor fan-in
+    collapses map-side and no reducer sees the raw rows; the top-k window
+    then runs over the aggregated counts only (one extra exchange on
+    target), never over raw anchors."""
+    from arkouda_njit_spark.sources import anchor_text_table
+
+    pages = spark.createDataFrame(
+        [
+            (f"https://s{i}.example/p", b'<a href="https://t.example/x">w</a>')
+            for i in range(30)
+        ],
+        "url string, html binary",
+    )
+    import re
+
+    plan = _plan(anchor_text_table(pages, k=5))
+    assert "partial_count" in plan  # map-side combine exists
+    # tree prints root-first: final agg ABOVE the exchange ABOVE the
+    # partial agg = the combine happens before rows move
+    assert re.search(
+        r"HashAggregate[^\n]*\n\s*\+- Exchange[^\n]*\n\s*\+- HashAggregate", plan
+    ), plan
+    # Spark 4 pushes the rank<=k filter below the window exchange too
+    assert "WindowGroupLimit" in plan
+    assert "Exchange SinglePartition" not in plan
