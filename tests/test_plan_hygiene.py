@@ -345,3 +345,27 @@ def test_anchor_term_counts_combine_map_side(spark):
     # Spark 4 pushes the rank<=k filter below the window exchange too
     assert "WindowGroupLimit" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_crawl_frontier_no_global_sort(spark):
+    """crawl_frontier's batch selection must not sort the frontier in one
+    partition: the politeness rank plans as WindowGroupLimit (per-map-task
+    per-host cap before the exchange) and the global top-k plans as
+    TakeOrderedAndProject (per-partition heaps), never a SinglePartition
+    sort of the capped set."""
+    from arkouda_njit_spark.sources import crawl_frontier
+
+    pages = spark.createDataFrame(
+        [
+            (
+                f"https://s{i}.example/p",
+                f'<a href="https://t{i % 7}.example/x{i}">w</a>'.encode(),
+            )
+            for i in range(40)
+        ],
+        "url string, html binary",
+    )
+    plan = _plan(crawl_frontier(pages, k=5, per_host=2))
+    assert "WindowGroupLimit" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
