@@ -14,6 +14,7 @@ from .kcore import core_decomposition, k_core
 from .ktruss import k_truss, max_truss, truss_decomposition
 from .label_propagation import label_propagation
 from .louvain import louvain_communities, modularity
+from .salsa import salsa
 from .pagerank import pagerank, personalized_pagerank
 from .scc import bowtie_decomposition, scc_sizes, strongly_connected_components
 from .squares import squares
@@ -47,6 +48,7 @@ __all__ = [
     "maximal_independent_set",
     "densest_subgraph",
     "hits",
+    "salsa",
     "hyperball",
     "neighbourhood_function",
     "effective_diameter",
