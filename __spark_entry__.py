@@ -1108,11 +1108,12 @@ def q_kcore(spark, sf_dir):
 def q_hits5(spark, sf_dir):
     """HITS hubs/authorities (5 fixed alternating sum-normalized
     iterations, operators/hits.py) PLUS eigenvector centrality (5 power
-    iterations on A^T + I, operators/eigenvector.py) on the same directed
-    graph A — merged into one slot (round-5 registry consolidation; both
-    are spectral per-vertex scores of the same digraph). Oracle =
-    unrolled iterations like the PageRank oracle."""
-    from arkouda_njit_spark.operators import eigenvector_centrality, hits
+    iterations on A^T + I, operators/eigenvector.py) PLUS SALSA (5
+    degree-normalized alternating iterations, operators/salsa.py) on the
+    same directed graph A — merged into one slot (round-5 registry
+    consolidation; all three are spectral per-vertex scores of the same
+    digraph). Oracle = unrolled iterations like the PageRank oracle."""
+    from arkouda_njit_spark.operators import eigenvector_centrality, hits, salsa
 
     li = _read(spark, sf_dir, "lineitem")
     dg = DiGraph.from_edges(
@@ -1126,14 +1127,22 @@ def q_hits5(spark, sf_dir):
     )
     out = hits(dg, max_iterations=5, tol=0.0)
     eig = eigenvector_centrality(dg, max_iterations=5, tol=0.0)
+    sal = salsa(dg, max_iterations=5, tol=0.0).select(
+        "vid",
+        F.col("hub").alias("salsa_hub"),
+        F.col("auth").alias("salsa_auth"),
+    )
     return (
         out.join(eig, "vid")
+        .join(sal, "vid")
         .join(dg.vertices.select("vid", F.col("label").alias("node")), "vid")
         .select(
             F.col("node").cast("long"),
             F.round("hub", 9).alias("hub"),
             F.round("auth", 9).alias("auth"),
             F.round("eigenvector", 9).alias("eig"),
+            F.round("salsa_hub", 9).alias("salsa_hub"),
+            F.round("salsa_auth", 9).alias("salsa_auth"),
         )
     )
 
@@ -2178,7 +2187,10 @@ def _hits_sql(iters: int) -> str:
     over the distinct directed graph-A edges (operators/hits.py
     semantics; same unrolled-CTE family as the PageRank oracle), plus an
     unrolled eigenvector power iteration (x' = L2-normalize(x + A^T x),
-    operators/eigenvector.py) over the same edge set — merged like the
+    operators/eigenvector.py) over the same edge set, plus unrolled
+    SALSA (degree-normalized alternating walk updates,
+    operators/salsa.py: auth'(j)=Σ hub(i)/outdeg(i), hub'(i)=Σ
+    auth(j)/indeg(j), each half-step sum-renormalized) — merged like the
     Spark-side q_hits5."""
     parts = [
         """WITH e AS MATERIALIZED (
@@ -2190,7 +2202,19 @@ h0 AS MATERIALIZED (
   SELECT node, 1.0/(SELECT n FROM nn) AS hub, 1.0/(SELECT n FROM nn) AS auth
   FROM verts
 ),
-x0 AS MATERIALIZED (SELECT node, 1.0/(SELECT n FROM nn) AS x FROM verts)"""
+x0 AS MATERIALIZED (SELECT node, 1.0/(SELECT n FROM nn) AS x FROM verts),
+se AS MATERIALIZED (
+  SELECT e.u, e.v, 1.0 / od.c AS w_fwd, 1.0 / id.c AS w_bwd
+  FROM e
+  JOIN (SELECT u, CAST(COUNT(*) AS DOUBLE) AS c FROM e GROUP BY u) od
+    ON e.u = od.u
+  JOIN (SELECT v, CAST(COUNT(*) AS DOUBLE) AS c FROM e GROUP BY v) id
+    ON e.v = id.v
+),
+s0 AS MATERIALIZED (
+  SELECT node, 1.0/(SELECT n FROM nn) AS hub, 1.0/(SELECT n FROM nn) AS auth
+  FROM verts
+)"""
     ]
     for i in range(1, iters + 1):
         parts.append(
@@ -2239,13 +2263,45 @@ x{i} AS MATERIALIZED (
   SELECT node, CASE WHEN (SELECT t FROM xt{i}) > 0
                     THEN x / (SELECT t FROM xt{i}) ELSE 0.0 END AS x
   FROM xf{i}
+),
+sar{i} AS (
+  SELECT se.v AS node, SUM(p.hub * se.w_fwd) AS a
+  FROM se JOIN s{i-1} p ON se.u = p.node GROUP BY se.v
+),
+saf{i} AS MATERIALIZED (
+  SELECT v.node, COALESCE(ar.a, 0.0) AS auth
+  FROM verts v LEFT JOIN sar{i} ar ON v.node = ar.node
+),
+sat{i} AS (SELECT SUM(auth) AS t FROM saf{i}),
+san{i} AS MATERIALIZED (
+  SELECT node, CASE WHEN (SELECT t FROM sat{i}) > 0
+                    THEN auth / (SELECT t FROM sat{i}) ELSE 0.0 END AS auth
+  FROM saf{i}
+),
+shr{i} AS (
+  SELECT se.u AS node, SUM(a.auth * se.w_bwd) AS h
+  FROM se JOIN san{i} a ON se.v = a.node GROUP BY se.u
+),
+shf{i} AS MATERIALIZED (
+  SELECT v.node, COALESCE(hr.h, 0.0) AS hub
+  FROM verts v LEFT JOIN shr{i} hr ON v.node = hr.node
+),
+sht{i} AS (SELECT SUM(hub) AS t FROM shf{i}),
+s{i} AS MATERIALIZED (
+  SELECT hf.node,
+         CASE WHEN (SELECT t FROM sht{i}) > 0
+              THEN hf.hub / (SELECT t FROM sht{i}) ELSE 0.0 END AS hub,
+         an.auth
+  FROM shf{i} hf JOIN san{i} an ON hf.node = an.node
 )"""
         )
     parts.append(
         f"""
 SELECT h.node, ROUND(h.hub, 9) AS hub, ROUND(h.auth, 9) AS auth,
-       ROUND(x.x, 9) AS eig
-FROM h{iters} h JOIN x{iters} x ON h.node = x.node"""
+       ROUND(x.x, 9) AS eig,
+       ROUND(s.hub, 9) AS salsa_hub, ROUND(s.auth, 9) AS salsa_auth
+FROM h{iters} h JOIN x{iters} x ON h.node = x.node
+JOIN s{iters} s ON h.node = s.node"""
     )
     return "".join(parts)
 
