@@ -16,6 +16,7 @@ from .label_propagation import label_propagation
 from .louvain import louvain_communities, modularity
 from .salsa import salsa
 from .pagerank import pagerank, personalized_pagerank
+from .trustrank import spam_mass, trustrank
 from .scc import bowtie_decomposition, scc_sizes, strongly_connected_components
 from .squares import squares
 from .sssp import multi_source_shortest_paths, shortest_paths
@@ -49,6 +50,8 @@ __all__ = [
     "densest_subgraph",
     "hits",
     "salsa",
+    "trustrank",
+    "spam_mass",
     "hyperball",
     "neighbourhood_function",
     "effective_diameter",
