@@ -369,18 +369,27 @@ def q_complete_graph(spark, sf_dir):
 
 
 def q_text_stats(spark, sf_dir):
-    """token_count + quality_score + language_id + shingle fingerprint in
-    ONE row per document (round-5 registry consolidation — all four are
-    doc_id-keyed column pipelines over the same table)."""
+    """token_count + quality_score + language_id + shingle fingerprint +
+    Okapi BM25 for the fixed query "data quality web"
+    (functions/retrieval.py) in ONE row per document (round-5 registry
+    consolidation — all five are doc_id-keyed pipelines over the same
+    table). Oracle replays the BM25 postings/df/dl algebra in SQL."""
+    from arkouda_njit_spark.functions import bm25
+
     docs = _docs(spark, sf_dir)
+    scores = bm25(docs, "data quality web").select(
+        "doc_id", F.col("score").alias("_bm25")
+    )
     return (
         fingerprint(language_id(quality_score(token_count(docs))), n=3)
+        .join(scores, "doc_id", "left")
         .select(
             F.col("doc_id").cast("long"),
             F.col("n_tokens").cast("long"),
             F.round("quality", 6).alias("quality"),
             F.col("lang_pred"),
             F.col("fingerprint"),
+            F.round(F.coalesce("_bm25", F.lit(0.0)), 9).alias("bm25_dqw"),
         )
     )
 
@@ -2449,6 +2458,34 @@ FROM range(8) a, range(8) b WHERE a.range < b.range
         "text_stats": f"""
 WITH {_SHINGLES},
 fp AS (SELECT doc_id, MIN(md5(s)) AS fingerprint FROM sh GROUP BY doc_id),
+post AS MATERIALIZED (
+  SELECT doc_id, t AS term, COUNT(*) AS tf
+  FROM (
+    SELECT doc_id, regexp_replace(u, '[^a-z0-9]', '', 'g') AS t
+    FROM (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS u
+      FROM docs
+    )
+  )
+  WHERE t <> '' GROUP BY doc_id, t
+),
+dl AS MATERIALIZED (SELECT doc_id, SUM(tf) AS dl FROM post GROUP BY doc_id),
+st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
+dfq AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM post
+  WHERE term IN ('data','quality','web') GROUP BY term
+),
+bm AS MATERIALIZED (
+  SELECT p.doc_id,
+         SUM(
+           ln(1.0 + ((SELECT n FROM st) - dfq.df + 0.5) / (dfq.df + 0.5))
+           * p.tf * 2.2
+           / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM st)))
+         ) AS score
+  FROM post p JOIN dfq USING (term) JOIN dl USING (doc_id)
+  GROUP BY p.doc_id
+),
 m AS (
   SELECT doc_id,
          length(text) AS nc,
@@ -2477,8 +2514,9 @@ SELECT doc_id,
        WHEN h_de = GREATEST(h_en, h_de, h_fr) THEN 'de'
        WHEN h_en = GREATEST(h_en, h_de, h_fr) THEN 'en'
        ELSE 'fr' END AS lang_pred,
-  fp.fingerprint
-FROM hits JOIN fp USING (doc_id)
+  fp.fingerprint,
+  ROUND(COALESCE(bm.score, 0.0), 9) AS bm25_dqw
+FROM hits JOIN fp USING (doc_id) LEFT JOIN bm USING (doc_id)
 """,
         "exact_dups": f"""
 WITH {_DOCS_DUP}
