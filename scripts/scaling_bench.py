@@ -588,7 +588,95 @@ spark.stop()
 """
 
 
+SALSA_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from arkouda_njit_spark.session import get_spark
+from arkouda_njit_spark.graph import DiGraph
+from arkouda_njit_spark.operators import salsa
+from arkouda_njit_spark.sources.generators import rmat_graph
+
+cpus = int(sys.argv[1])
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+raw = rmat_graph(spark, scale=%(sa_scale)d, edge_factor=%(sa_ef)d, seed=42)
+g = DiGraph.from_edges(spark, raw.withColumn("weight", F.lit(1.0)))
+edges = g.edges.count()
+small = DiGraph.from_edges(spark, rmat_graph(spark, scale=10, edge_factor=4, seed=7)
+                           .withColumn("weight", F.lit(1.0)))
+salsa(small, max_iterations=2)  # JIT warmup
+t0 = time.time()
+out = salsa(g, max_iterations=%(sa_iters)d, tol=0.0)
+n = out.count()
+wall = time.time() - t0
+rows = out.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+print(json.dumps({"cpus": cpus, "wall_sec": wall,
+                  "units": int(edges) * %(sa_iters)d,
+                  "throughput": edges * %(sa_iters)d / wall,
+                  "iters_per_hour": %(sa_iters)d / wall * 3600.0,
+                  "partition_rows": {str(r["pid"]): r["count"] for r in rows}}))
+spark.stop()
+"""
+
+
+BM25_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from arkouda_njit_spark.session import get_spark
+from arkouda_njit_spark.functions import bm25_batch, term_postings
+
+cpus = int(sys.argv[1])
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+n = %(n_docs)d
+# deterministic 40-word docs over a ~16.8M-token vocab of md5 prefixes;
+# the query batch draws terms the same way so matches are guaranteed
+words = F.transform(F.sequence(F.lit(0), F.lit(39)),
+                    lambda i: F.substring(F.md5(F.concat(F.col("id").cast("string"),
+                                                         F.lit(":"), i.cast("string"))), 1, 6))
+docs = spark.range(n).select(F.col("id").alias("doc_id"),
+                             F.array_join(words, " ").alias("text")).persist()
+docs.count()
+qt = spark.range(64).select(
+    (F.col("id") %% 16).cast("int").alias("query_id"),
+    F.substring(F.md5(F.concat((F.col("id") * 97 %% n).cast("string"),
+                               F.lit(":"), (F.col("id") %% 40).cast("string"))), 1, 6)
+     .alias("term"))
+bm25_batch(docs.limit(20000), qt).count()  # JIT warmup
+t0 = time.time()
+scores = bm25_batch(docs, qt)
+cnt = scores.count()
+wall = time.time() - t0
+rows = scores.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+print(json.dumps({"cpus": cpus, "wall_sec": wall, "units": n,
+                  "throughput": n / wall, "iters_per_hour": None,
+                  "matched_pairs": cnt,
+                  "partition_rows": {str(r["pid"]): r["count"] for r in rows}}))
+spark.stop()
+"""
+
+
 JOBS = {
+    "salsa": (
+        SALSA_WORKER,
+        {
+            "repo": REPO,
+            "sa_scale": int(os.environ.get("SPARK_GRAFT_SCALING_SA_SCALE", "19")),
+            "sa_ef": int(os.environ.get("SPARK_GRAFT_SCALING_SA_EF", "8")),
+            "sa_iters": int(os.environ.get("SPARK_GRAFT_SCALING_SA_ITERS", "10")),
+        },
+        f"salsa{os.environ.get('SPARK_GRAFT_SCALING_SA_ITERS', '10')}"
+        f"_rmat{os.environ.get('SPARK_GRAFT_SCALING_SA_SCALE', '19')}",
+        "edge_iters_per_sec",
+    ),
+    "bm25": (
+        BM25_WORKER,
+        {"repo": REPO, "n_docs": N_DOCS},
+        f"bm25_16q_{N_DOCS}docs",
+        "docs_per_sec",
+    ),
     "pagerank": (
         PAGERANK_WORKER,
         {"repo": REPO, "iters": PR_ITERS, "rmat_scale": RMAT_SCALE, "rmat_ef": RMAT_EF},

@@ -339,8 +339,12 @@ def test_anchor_term_counts_combine_map_side(spark):
     assert "partial_count" in plan  # map-side combine exists
     # tree prints root-first: final agg ABOVE the exchange ABOVE the
     # partial agg = the combine happens before rows move
+    # (?:\* )? — whole-stage-codegen star appears when a prior test in
+    # the shared session ran with AQE off; the shape assert is the same
     assert re.search(
-        r"HashAggregate[^\n]*\n\s*\+- Exchange[^\n]*\n\s*\+- HashAggregate", plan
+        r"HashAggregate[^\n]*\n\s*\+- (?:\* )?Exchange[^\n]*\n\s*"
+        r"\+- (?:\* )?HashAggregate",
+        plan,
     ), plan
     # Spark 4 pushes the rank<=k filter below the window exchange too
     assert "WindowGroupLimit" in plan
