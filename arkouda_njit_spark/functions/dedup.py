@@ -18,7 +18,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import shingles, tokens
@@ -358,3 +358,71 @@ def paragraph_dedup(
         F.sum(F.when(~F.col("keep_para"), 1).otherwise(0)).alias("n_paras_removed"),
     )
     return df.join(rebuilt, id_col, "left").na.fill({out: "", "n_paras_removed": 0})
+
+
+def dedup_clusters(
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """(doc_id, cluster) for every doc appearing in a near-duplicate
+    pair table; ``cluster`` is the smallest doc_id of the pair-connected
+    group (transitive closure — if a~b and b~c, all three share one
+    cluster even when a~c was never scored).
+
+    The kernel is the engine's hash-min connected components
+    (operators/connected_components.py) over the pair graph — the pair
+    table IS an edge list, and dedup clustering at corpus scale is
+    exactly the CC problem, so all of its scale discipline (map-side min
+    combine, checkpointed fixpoint, one action per round) is inherited.
+    """
+    from ..graph import Graph
+    from ..operators.connected_components import connected_components
+
+    spark = pairs.sparkSession
+    edges = pairs.select(
+        F.col(a_col).cast("long").alias("src"),
+        F.col(b_col).cast("long").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    g = Graph.from_edges(spark, edges, no_self_loops=False)
+    comp = connected_components(g)
+    labels = g.vertices.select("vid", F.col("label").alias("doc_id"))
+    return (
+        comp.join(labels, "vid")
+        .withColumn(
+            "cluster", F.min("doc_id").over(Window.partitionBy("component"))
+        )
+        .select("doc_id", "cluster")
+    )
+
+
+def keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+    prefer: str | None = None,
+) -> DataFrame:
+    """The corpus with every near-duplicate cluster collapsed to ONE
+    representative: the member with the highest ``prefer`` column value
+    (ties and the default both fall back to the smallest doc_id). Docs
+    in no pair are their own cluster and always survive. Schema is
+    unchanged — this is the "apply the dedup decision" step between
+    pair generation and training-set write-out."""
+    clusters = dedup_clusters(pairs, a_col, b_col)
+    joined = df.join(
+        clusters.select(F.col("doc_id").alias(id_col), "cluster"),
+        id_col,
+        "left",
+    ).withColumn("cluster", F.coalesce("cluster", F.col(id_col).cast("long")))
+    order = (
+        [F.col(prefer).desc(), F.col(id_col).asc()]
+        if prefer
+        else [F.col(id_col).asc()]
+    )
+    win = Window.partitionBy("cluster").orderBy(*order)
+    return (
+        joined.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "cluster")
+    )

@@ -103,6 +103,45 @@ def tf_idf(
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, dl, logprob) — mean per-token natural-log probability of
+    each document under the corpus's OWN unigram distribution,
+    ``logprob(d) = (1/|d|) Σ_{t∈d} tf_d(t)·ln(ctf(t)/T)`` with corpus
+    term count ``ctf`` and total token count ``T``.
+
+    This is the standard cheap stand-in for the LM-perplexity quality
+    filter (CCNet / Gopher filter stacks): gibberish and boilerplate sit
+    at the two extremes of the score. Self-trained, so there is no OOV
+    (every token has ctf ≥ 1) and no external model. Docs with no tokens
+    are omitted (no distribution to score under).
+
+    Plan: the postings aggregate, a vocabulary-sized (term, ctf)
+    aggregate of it, and one equi-join back on ``term`` — the same
+    shapes as tf_idf; pass a persisted ``term_postings(df)`` to share
+    the index with bm25/tf_idf."""
+    if postings is None:
+        postings = term_postings(df, id_col, text_col)
+    ctf = postings.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    total = ctf.agg(F.sum("ctf").alias("total"))
+    return (
+        postings.join(ctf, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("dl"),
+            (
+                F.sum(F.col("tf") * F.log(F.col("ctf") / F.col("total")))
+                / F.sum("tf")
+            ).alias("logprob"),
+        )
+    )
+
+
 def bm25_batch(
     df: DataFrame,
     query_terms: DataFrame,

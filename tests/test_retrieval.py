@@ -116,6 +116,29 @@ def test_bm25_normalization_and_guards(spark):
     assert bm25(_df(spark), "zzznope").count() == 0
 
 
+def test_unigram_logprob_matches_python(spark):
+    from arkouda_njit_spark.functions import unigram_logprob
+
+    post = _python_postings()
+    ctf, total = {}, 0
+    for (_, t), tf in post.items():
+        ctf[t] = ctf.get(t, 0) + tf
+        total += tf
+    want = {}
+    for (d, t), tf in post.items():
+        s, n = want.get(d, (0.0, 0))
+        want[d] = (s + tf * math.log(ctf[t] / total), n + tf)
+    want = {d: (n, s / n) for d, (s, n) in want.items()}
+    rows = unigram_logprob(_df(spark)).collect()
+    got = {r["doc_id"]: (r["dl"], r["logprob"]) for r in rows}
+    assert got.keys() == want.keys()  # token-less docs omitted
+    for d, (dl, lp) in want.items():
+        assert got[d][0] == dl
+        assert got[d][1] == pytest.approx(lp, abs=1e-12), d
+    # every score is a mean of log-probs: strictly negative here
+    assert all(lp < 0 for _, lp in got.values())
+
+
 def test_bm25_batch_reuses_a_persisted_index(spark):
     df = _df(spark)
     idx = term_postings(df).persist()
