@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
+from ..plans.checkpoints import flat_checkpoint
 from ..plans.iterate import FixpointLoop
 
 
@@ -51,8 +52,13 @@ def eigenvector_centrality(
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.sum(F.col("x") * wcol).alias("c"))
         )
-        raw = state.join(contrib, "vid", "left").select(
-            "vid", (F.col("x") + F.coalesce("c", F.lit(0.0))).alias("x")
+        # checkpointed before normalizing: the broadcast norm total and
+        # the value projection would otherwise EACH re-execute the edge
+        # join (2x per iteration instead of the inherent 1)
+        raw = flat_checkpoint(
+            state.join(contrib, "vid", "left").select(
+                "vid", (F.col("x") + F.coalesce("c", F.lit(0.0))).alias("x")
+            )
         )
         norm = F.broadcast(
             raw.agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("_n"))

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import DiGraph
+from ..plans.checkpoints import flat_checkpoint
 from ..plans.iterate import FixpointLoop
 
 
@@ -88,28 +89,33 @@ def salsa(
         )
 
     def step(state: DataFrame, i: int) -> DataFrame:
+        # each half-step's V-sized raw aggregate is eagerly checkpointed
+        # BEFORE normalizing: the normalizer's broadcast total, the next
+        # half-step, and the final join all consume it, and without the
+        # checkpoint each consumer re-executes the edge join (measured
+        # ~6-7 edge joins per iteration instead of the inherent 2)
         a_raw = (
             edges.join(state.select(F.col("vid").alias("src"), "hub"), "src")
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.sum(F.col("hub") * F.col("w_fwd")).alias("auth"))
         )
-        auth = _normalized(
+        af = flat_checkpoint(
             verts.join(a_raw, "vid", "left").select(
                 "vid", F.coalesce("auth", F.lit(0.0)).alias("auth")
-            ),
-            "auth",
+            )
         )
+        auth = _normalized(af, "auth")
         h_raw = (
             edges.join(auth.select(F.col("vid").alias("dst"), "auth"), "dst")
             .groupBy(F.col("src").alias("vid"))
             .agg(F.sum(F.col("auth") * F.col("w_bwd")).alias("hub"))
         )
-        hub = _normalized(
+        hf = flat_checkpoint(
             verts.join(h_raw, "vid", "left").select(
                 "vid", F.coalesce("hub", F.lit(0.0)).alias("hub")
-            ),
-            "hub",
+            )
         )
+        hub = _normalized(hf, "hub")
         return hub.join(auth, "vid").select("vid", "hub", "auth")
 
     def l1_both(old: DataFrame, new: DataFrame) -> float:
