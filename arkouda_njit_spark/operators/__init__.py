@@ -15,6 +15,7 @@ from .ktruss import k_truss, max_truss, truss_decomposition
 from .label_propagation import label_propagation
 from .louvain import louvain_communities, modularity
 from .salsa import salsa
+from .sampling import khop_sample, sample_neighbors
 from .pagerank import pagerank, personalized_pagerank
 from .trustrank import spam_mass, trustrank
 from .scc import bowtie_decomposition, scc_sizes, strongly_connected_components
@@ -50,6 +51,8 @@ __all__ = [
     "densest_subgraph",
     "hits",
     "salsa",
+    "sample_neighbors",
+    "khop_sample",
     "trustrank",
     "spam_mass",
     "hyperball",
