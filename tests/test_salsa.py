@@ -120,3 +120,4 @@ def test_salsa_partition_invariance(spark):
     for k in a:
         assert a[k][0] == pytest.approx(b[k][0], abs=1e-12)
         assert a[k][1] == pytest.approx(b[k][1], abs=1e-12)
+
