@@ -253,6 +253,42 @@ def simhash(
     return sums.select(F.col(id_col), sig.alias(out))
 
 
+def simhash_column(col, bits: int = 32):
+    """Per-ROW SimHash column expression — identical semantics (tokens,
+    md5-prefix hash, sign-of-sum per bit) to :func:`simhash`, but
+    computed inside one projection with an array-fold accumulator
+    instead of explode+groupBy. No shuffle, so it composes with
+    Structured Streaming stages (streaming/dedup.py) and with plans that
+    must stay in one codegen stage. Parity with the aggregate version is
+    pinned by test."""
+    if bits > 60:
+        raise ValueError(f"simhash: bits={bits} > 60 (hex-prefix hash is 60-bit max)")
+    nhex = (bits + 3) // 4
+    c = F.col(col) if isinstance(col, str) else col
+
+    def _merge(acc, tok):
+        h = F.conv(F.substring(F.md5(tok), 1, nhex), 16, 10).cast("long")
+        # getbit (not shiftright) because the bit position is the fold
+        # lambda's index Column, and shiftright takes only literal counts
+        return F.transform(
+            acc,
+            lambda cnt, i: cnt + F.when(F.getbit(h, i) == 1, 1).otherwise(-1),
+        )
+
+    counts = F.aggregate(
+        tokens(c),
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        _merge,
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(
+            F.element_at(counts, b + 1) > 0, F.lit(2**b).cast("long")
+        ).otherwise(F.lit(0))
+    return sig
+
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
