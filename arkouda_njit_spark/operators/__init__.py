@@ -3,6 +3,7 @@ from .centrality import harmonic_centrality
 from .clustering import clustering_coefficients, degree_assortativity, transitivity
 from .connected_components import component_sizes, connected_components
 from .diameter import diameter
+from .distance_oracle import approx_distances, distance_sketch
 from .coloring import greedy_color, maximal_independent_set
 from .densest import densest_subgraph
 from .hits import hits
@@ -46,6 +47,8 @@ __all__ = [
     "degree_assortativity",
     "transitivity",
     "diameter",
+    "distance_sketch",
+    "approx_distances",
     "greedy_color",
     "maximal_independent_set",
     "densest_subgraph",
