@@ -1,6 +1,12 @@
 from .bfs import bfs_layers
-from .centrality import harmonic_centrality
-from .clustering import clustering_coefficients, degree_assortativity, transitivity
+from .centrality import closeness_centrality, harmonic_centrality
+from .clustering import (
+    clustering_coefficients,
+    degree_assortativity,
+    reciprocity,
+    transitivity,
+    vertex_reciprocity,
+)
 from .connected_components import component_sizes, connected_components
 from .diameter import diameter
 from .distance_oracle import approx_distances, distance_sketch
@@ -11,6 +17,7 @@ from .hyperball import effective_diameter, hyperball, neighbourhood_function
 from .betweenness import betweenness_centrality
 from .eigenvector import eigenvector_centrality
 from .jaccard import jaccard_coefficients
+from .katz import katz_centrality
 from .kcore import core_decomposition, k_core
 from .ktruss import k_truss, max_truss, truss_decomposition
 from .label_propagation import label_propagation
@@ -45,6 +52,10 @@ __all__ = [
     "clustering_coefficients",
     "harmonic_centrality",
     "degree_assortativity",
+    "reciprocity",
+    "vertex_reciprocity",
+    "closeness_centrality",
+    "katz_centrality",
     "transitivity",
     "diameter",
     "distance_sketch",

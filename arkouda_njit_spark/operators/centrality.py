@@ -90,3 +90,73 @@ def harmonic_centrality(
             )
         ).alias("harmonic"),
     )
+
+
+def closeness_centrality(
+    graph: Graph,
+    sample_size: int | None = None,
+    seed: int = 42,
+    exact: bool = False,
+    max_exact_vertices: int = MAX_EXACT_VERTICES,
+) -> DataFrame:
+    """(vid, closeness) — nx.closeness_centrality semantics in exact
+    mode: for each v, over the r_v vertices that REACH v,
+    ``C(v) = (r_v - 1)/Σd(u,v) · (r_v - 1)/(n - 1)`` (the
+    Wasserman–Faust component correction; isolated/unreached vertices
+    get 0). Exact mode shares harmonic's all-roots multi-source BFS and
+    its guard rail.
+
+    ``sample_size=k`` switches to the Eppstein–Wang (2004) estimator:
+    ``C(v) ≈ 1 / ((n/(k(n-1))) Σ_{sampled u reaching v} d(u,v))``,
+    unbiased for the inverse-average-distance on (near-)connected
+    graphs — the published scale path; on multi-component graphs it
+    over-estimates within small components (no r_v correction), which
+    is the documented trade."""
+    n = graph.n_vertices
+    verts = graph.vertices.select("vid")
+    if sample_size is not None and sample_size <= 0:
+        raise ValueError("sample_size must be positive")
+    if sample_size is None and not exact and n > max_exact_vertices:
+        raise ValueError(
+            f"exact closeness centrality on {n} vertices (> "
+            f"{max_exact_vertices}) is an all-pairs BFS; pass sample_size "
+            "for the scale path or exact=True to force the exact plan"
+        )
+    if sample_size is None or sample_size >= n:
+        roots = verts
+        k = n
+    else:
+        roots = (
+            verts.withColumn("_h", F.xxhash64("vid", F.lit(seed), F.lit(1)))
+            .orderBy("_h")
+            .limit(sample_size)
+            .select("vid")
+        )
+        k = sample_size
+    visited = multi_source_bfs(
+        graph.edges.select("src", "dst"),
+        roots.select(F.col("vid").alias("root"), "vid"),
+    )
+    stats = (
+        visited.filter(F.col("depth") > 0)
+        .groupBy("vid")
+        .agg(F.sum("depth").alias("s"), F.count("*").alias("c"))
+    )
+    out = verts.join(stats, "vid", "left")
+    if k >= n:
+        return out.select(
+            "vid",
+            F.when(
+                F.col("s") > 0,
+                (F.col("c") / F.col("s")) * (F.col("c") / F.lit(float(n - 1))),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("closeness"),
+        )
+    scale = float(n) / (float(k) * float(max(n - 1, 1)))
+    return out.select(
+        "vid",
+        F.when(F.col("s") > 0, 1.0 / (F.lit(scale) * F.col("s")))
+        .otherwise(F.lit(0.0))
+        .alias("closeness"),
+    )

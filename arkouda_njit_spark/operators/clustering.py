@@ -101,3 +101,53 @@ def degree_assortativity(graph: Graph) -> float:
     if vx <= 0 or vy <= 0:
         return 0.0
     return float(cov / (vx**0.5 * vy**0.5))
+
+
+def reciprocity(graph) -> float:
+    """Overall reciprocity of a directed graph: the fraction of
+    (non-loop, deduplicated) directed edges whose reverse edge also
+    exists — ``nx.overall_reciprocity``. One self-semi-join on the
+    reversed key + two scalar counts."""
+    e = (
+        graph.edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    total = e.count()
+    if total == 0:
+        e.unpersist()
+        raise ValueError("reciprocity is undefined on an empty edge set")
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = e.join(rev, ["src", "dst"], "left_semi").count()
+    e.unpersist()
+    return mutual / total
+
+
+def vertex_reciprocity(graph) -> "DataFrame":
+    """(vid, reciprocity) per vertex: the fraction of the vertex's
+    incident directed (non-loop) edges that are reciprocated —
+    ``nx.reciprocity(G, nodes)`` semantics; vertices with no incident
+    edges get NULL. Map-side-combined counts keyed by vertex."""
+    e = (
+        graph.edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    marked = e.join(
+        rev.withColumn("_m", F.lit(1)), ["src", "dst"], "left"
+    ).select("src", "dst", F.coalesce("_m", F.lit(0)).alias("_m"))
+    incident = marked.select(F.col("src").alias("vid"), "_m").unionAll(
+        marked.select(F.col("dst").alias("vid"), "_m")
+    )
+    per = incident.groupBy("vid").agg(
+        F.count("*").alias("t"), F.sum("_m").alias("m")
+    )
+    out = graph.vertices.select("vid").join(per, "vid", "left").select(
+        "vid",
+        F.when(F.col("t") > 0, F.col("m") / F.col("t")).alias("reciprocity"),
+    )
+    e.unpersist()
+    return out

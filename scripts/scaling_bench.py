@@ -658,7 +658,50 @@ spark.stop()
 """
 
 
+SKETCH_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from arkouda_njit_spark.session import get_spark
+from arkouda_njit_spark import Graph
+from arkouda_njit_spark.operators import distance_sketch
+from arkouda_njit_spark.sources.generators import rmat_graph
+
+cpus = int(sys.argv[1])
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+raw = rmat_graph(spark, scale=%(ds_scale)d, edge_factor=%(ds_ef)d, seed=42)
+g = Graph.from_edges(spark, raw.withColumn("weight", F.lit(1.0)))
+edges = g.edges.count()
+small = Graph.from_edges(spark, rmat_graph(spark, scale=10, edge_factor=4, seed=7)
+                         .withColumn("weight", F.lit(1.0)))
+distance_sketch(small, num_sets=3).count()  # JIT warmup
+t0 = time.time()
+sk = distance_sketch(g, num_sets=%(ds_sets)d, seed=1)
+n = sk.count()
+wall = time.time() - t0
+rows = sk.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+print(json.dumps({"cpus": cpus, "wall_sec": wall, "units": int(edges),
+                  "throughput": edges / wall, "iters_per_hour": None,
+                  "sketch_rows": n,
+                  "partition_rows": {str(r["pid"]): r["count"] for r in rows}}))
+spark.stop()
+"""
+
+
 JOBS = {
+    "distsketch": (
+        SKETCH_WORKER,
+        {
+            "repo": REPO,
+            "ds_scale": int(os.environ.get("SPARK_GRAFT_SCALING_DS_SCALE", "19")),
+            "ds_ef": int(os.environ.get("SPARK_GRAFT_SCALING_DS_EF", "8")),
+            "ds_sets": int(os.environ.get("SPARK_GRAFT_SCALING_DS_SETS", "8")),
+        },
+        f"distsketch{os.environ.get('SPARK_GRAFT_SCALING_DS_SETS', '8')}sets"
+        f"_rmat{os.environ.get('SPARK_GRAFT_SCALING_DS_SCALE', '19')}",
+        "edges_per_sec",
+    ),
     "salsa": (
         SALSA_WORKER,
         {
