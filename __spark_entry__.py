@@ -1119,10 +1119,17 @@ def q_hits5(spark, sf_dir):
     iterations, operators/hits.py) PLUS eigenvector centrality (5 power
     iterations on A^T + I, operators/eigenvector.py) PLUS SALSA (5
     degree-normalized alternating iterations, operators/salsa.py) on the
-    same directed graph A — merged into one slot (round-5 registry
-    consolidation; all three are spectral per-vertex scores of the same
-    digraph). Oracle = unrolled iterations like the PageRank oracle."""
-    from arkouda_njit_spark.operators import eigenvector_centrality, hits, salsa
+    PLUS Katz centrality (5 fixed attenuated iterations + one final L2
+    normalize, operators/katz.py) on the same directed graph A — merged
+    into one slot (round-5 registry consolidation; all four are spectral
+    per-vertex scores of the same digraph). Oracle = unrolled iterations
+    like the PageRank oracle."""
+    from arkouda_njit_spark.operators import (
+        eigenvector_centrality,
+        hits,
+        katz_centrality,
+        salsa,
+    )
 
     li = _read(spark, sf_dir, "lineitem")
     dg = DiGraph.from_edges(
@@ -1141,9 +1148,11 @@ def q_hits5(spark, sf_dir):
         F.col("hub").alias("salsa_hub"),
         F.col("auth").alias("salsa_auth"),
     )
+    kz = katz_centrality(dg, alpha=0.1, beta=1.0, tol=0.0, max_iterations=5)
     return (
         out.join(eig, "vid")
         .join(sal, "vid")
+        .join(kz, "vid")
         .join(dg.vertices.select("vid", F.col("label").alias("node")), "vid")
         .select(
             F.col("node").cast("long"),
@@ -1152,6 +1161,7 @@ def q_hits5(spark, sf_dir):
             F.round("eigenvector", 9).alias("eig"),
             F.round("salsa_hub", 9).alias("salsa_hub"),
             F.round("salsa_auth", 9).alias("salsa_auth"),
+            F.round("katz", 9).alias("katz"),
         )
     )
 
@@ -2223,7 +2233,8 @@ se AS MATERIALIZED (
 s0 AS MATERIALIZED (
   SELECT node, 1.0/(SELECT n FROM nn) AS hub, 1.0/(SELECT n FROM nn) AS auth
   FROM verts
-)"""
+),
+k0 AS MATERIALIZED (SELECT node, 0.0 AS x FROM verts)"""
     ]
     for i in range(1, iters + 1):
         parts.append(
@@ -2302,15 +2313,27 @@ s{i} AS MATERIALIZED (
               THEN hf.hub / (SELECT t FROM sht{i}) ELSE 0.0 END AS hub,
          an.auth
   FROM shf{i} hf JOIN san{i} an ON hf.node = an.node
+),
+kr{i} AS (
+  SELECT e.v AS node, SUM(p.x) AS c
+  FROM e JOIN k{i-1} p ON e.u = p.node GROUP BY e.v
+),
+k{i} AS MATERIALIZED (
+  SELECT v.node, 0.1 * COALESCE(kr.c, 0.0) + 1.0 AS x
+  FROM verts v LEFT JOIN kr{i} kr ON v.node = kr.node
 )"""
         )
     parts.append(
         f"""
+, kt AS (SELECT SQRT(SUM(x * x)) AS t FROM k{iters})
 SELECT h.node, ROUND(h.hub, 9) AS hub, ROUND(h.auth, 9) AS auth,
        ROUND(x.x, 9) AS eig,
-       ROUND(s.hub, 9) AS salsa_hub, ROUND(s.auth, 9) AS salsa_auth
+       ROUND(s.hub, 9) AS salsa_hub, ROUND(s.auth, 9) AS salsa_auth,
+       ROUND(CASE WHEN (SELECT t FROM kt) > 0
+                  THEN k.x / (SELECT t FROM kt) ELSE 0.0 END, 9) AS katz
 FROM h{iters} h JOIN x{iters} x ON h.node = x.node
-JOIN s{iters} s ON h.node = s.node"""
+JOIN s{iters} s ON h.node = s.node
+JOIN k{iters} k ON h.node = k.node"""
     )
     return "".join(parts)
 

@@ -68,10 +68,12 @@ def katz_centrality(
         )
         return float(row["d"] or 0.0)
 
+    # tol <= 0: exactly max_iterations updates with no convergence job
+    # (the replayable fixed-iteration mode the driver oracle uses)
     loop = FixpointLoop(
         "katz",
         step,
-        convergence=l1,
+        convergence=l1 if tol > 0 else None,
         max_iterations=max_iterations,
         # nx stops when L1 change < n * tol
         tol=float(n) * tol,
