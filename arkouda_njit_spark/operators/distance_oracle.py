@@ -95,23 +95,53 @@ def distance_sketch(
             e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
             .distinct()
         )
-    reached = multi_source_bfs(edges, sources)
-    # decode (set_id, seed_vid) from the composite root and keep the
-    # closest seed per (vid, set): min_by on (dist, seed) — map-side
-    # combined, ties broken by seed id for determinism
-    decoded = reached.select(
-        "vid",
-        F.shiftright(F.col("root"), 44).cast("int").alias("set_id"),
-        F.col("root").bitwiseAND(F.lit((1 << 44) - 1)).alias("seed_vid"),
-        F.col("depth").cast("long").alias("dist"),
+    edges = edges.persist()
+    # PRUNED multi-set BFS (the paper's semantics): within a set, seeds
+    # COMPETE — a vertex is claimed once, by its closest seed (ties: min
+    # seed id), and only the claimant's wave continues through it. State
+    # is O(V · num_sets), NOT O(V · total seeds): without the pruning the
+    # largest set alone would visit every vertex once per seed. Loop
+    # discipline is operators/bfs.py's: one action per level, lazy
+    # flat checkpoints, frontier keyed by (set_id, vid).
+    frontier = (
+        sources.select(
+            F.shiftright(F.col("root"), 44).cast("int").alias("set_id"),
+            "vid",
+            F.col("root").bitwiseAND(F.lit((1 << 44) - 1)).alias("seed_vid"),
+            F.lit(0).cast("long").alias("dist"),
+        )
+        .localCheckpoint(eager=True)
     )
-    return decoded.groupBy("vid", "set_id").agg(
-        F.min(F.struct("dist", "seed_vid")).alias("_m")
-    ).select(
-        "vid",
-        "set_id",
-        F.col("_m.seed_vid").alias("seed_vid"),
-        F.col("_m.dist").alias("dist"),
+    levels = [frontier]
+    claimed = frontier.select("set_id", "vid")
+    dist = 0
+    while True:
+        dist += 1
+        nxt = (
+            edges.join(frontier.withColumnRenamed("vid", "src"), "src")
+            .groupBy("set_id", F.col("dst").alias("vid"))
+            .agg(F.min(F.struct("dist", "seed_vid")).alias("_m"))
+            .join(claimed, ["set_id", "vid"], "left_anti")
+            .select(
+                "set_id",
+                "vid",
+                F.col("_m.seed_vid").alias("seed_vid"),
+                F.lit(dist).cast("long").alias("dist"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        if nxt.count() == 0:
+            break
+        levels.append(nxt)
+        frontier = nxt
+        claimed = claimed.unionAll(nxt.select("set_id", "vid"))
+        if dist % 8 == 0:
+            claimed = claimed.localCheckpoint(eager=False)
+    edges.unpersist()
+    from functools import reduce
+
+    return reduce(DataFrame.unionAll, levels).select(
+        "vid", "set_id", "seed_vid", "dist"
     )
 
 
