@@ -43,6 +43,7 @@ from .triangles import (
     triangles_per_vertex,
 )
 from .walks import node2vec_walks, random_walks, walk_corpus
+from .wtf import who_to_follow
 from .wcc import well_connected_components
 
 __all__ = [
@@ -65,6 +66,7 @@ __all__ = [
     "densest_subgraph",
     "hits",
     "salsa",
+    "who_to_follow",
     "sample_neighbors",
     "khop_sample",
     "trustrank",
