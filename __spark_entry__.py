@@ -740,20 +740,26 @@ def q_triad_census(spark, sf_dir):
 
 
 def q_jaccard(spark, sf_dir):
-    """Vertex-pair Jaccard on graph B (pairs with >=1 common neighbor,
-    jaccard >= 0.5) — operators.jaccard wedge formulation."""
-    from arkouda_njit_spark.operators import jaccard_coefficients
+    """Link-prediction family on graph B: for pairs with jaccard >= 0.5,
+    the full wedge-weighted score set (common neighbors, Jaccard,
+    Adamic-Adar, resource allocation, preferential attachment) from ONE
+    wedge pass — operators.linkpred; subsumes the round-1..4 jaccard slot."""
+    from arkouda_njit_spark.operators import link_prediction
 
     g = _graph_b(spark, sf_dir)
     lab = _labels(g)
-    jc = jaccard_coefficients(g, min_jaccard=0.5)
+    lp = link_prediction(g).filter(F.col("jaccard") >= 0.5)
     return (
-        jc.join(lab.withColumnRenamed("vid", "u").withColumnRenamed("node", "nu"), "u")
+        lp.join(lab.withColumnRenamed("vid", "u").withColumnRenamed("node", "nu"), "u")
         .join(lab.withColumnRenamed("vid", "v").withColumnRenamed("node", "nv"), "v")
         .select(
             F.col("nu").cast("long").alias("u"),
             F.col("nv").cast("long").alias("v"),
+            F.col("common_neighbors").cast("long").alias("cn"),
             F.round("jaccard", 9).alias("jaccard"),
+            F.round("adamic_adar", 9).alias("adamic_adar"),
+            F.round("resource_allocation", 9).alias("resource_allocation"),
+            F.col("preferential_attachment").cast("long").alias("pref_attach"),
         )
     )
 
@@ -2810,12 +2816,21 @@ und AS MATERIALIZED (
 bsym AS MATERIALIZED (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
 deg AS MATERIALIZED (SELECT u AS node, COUNT(*) AS d FROM bsym GROUP BY u),
 common AS MATERIALIZED (
-  SELECT s1.v AS a, s2.v AS b, COUNT(*) AS c
-  FROM bsym s1 JOIN bsym s2 ON s1.u = s2.u AND s1.v < s2.v
+  SELECT s1.v AS a, s2.v AS b,
+         COUNT(*) AS c,
+         SUM(1.0 / LN(dm.d)) AS aa,
+         SUM(1.0 / dm.d) AS ra
+  FROM bsym s1
+  JOIN bsym s2 ON s1.u = s2.u AND s1.v < s2.v
+  JOIN deg dm ON s1.u = dm.node
   GROUP BY s1.v, s2.v
 )
 SELECT a AS u, b AS v,
-       ROUND(c * 1.0 / (da.d + db.d - c), 9) AS jaccard
+       c AS cn,
+       ROUND(c * 1.0 / (da.d + db.d - c), 9) AS jaccard,
+       ROUND(aa, 9) AS adamic_adar,
+       ROUND(ra, 9) AS resource_allocation,
+       da.d * db.d AS pref_attach
 FROM common JOIN deg da ON common.a = da.node
             JOIN deg db ON common.b = db.node
 WHERE c * 1.0 / (da.d + db.d - c) >= 0.5

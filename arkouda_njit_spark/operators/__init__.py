@@ -17,6 +17,7 @@ from .hyperball import effective_diameter, hyperball, neighbourhood_function
 from .betweenness import betweenness_centrality
 from .eigenvector import eigenvector_centrality
 from .jaccard import jaccard_coefficients
+from .linkpred import bibliographic_coupling, cocitation, link_prediction
 from .katz import katz_centrality
 from .kcore import core_decomposition, k_core
 from .ktruss import k_truss, max_truss, truss_decomposition
@@ -75,6 +76,9 @@ __all__ = [
     "neighbourhood_function",
     "effective_diameter",
     "jaccard_coefficients",
+    "bibliographic_coupling",
+    "cocitation",
+    "link_prediction",
     "core_decomposition",
     "betweenness_centrality",
     "eigenvector_centrality",
