@@ -23,6 +23,7 @@ from .kcore import core_decomposition, k_core
 from .ktruss import k_truss, max_truss, truss_decomposition
 from .label_propagation import label_propagation
 from .louvain import louvain_communities, modularity
+from .mst import minimum_spanning_forest
 from .salsa import salsa
 from .sampling import khop_sample, sample_neighbors
 from .pagerank import pagerank, personalized_pagerank
@@ -86,6 +87,7 @@ __all__ = [
     "k_truss",
     "label_propagation",
     "louvain_communities",
+    "minimum_spanning_forest",
     "max_truss",
     "modularity",
     "pagerank",
