@@ -24,6 +24,7 @@ from .ktruss import k_truss, max_truss, truss_decomposition
 from .label_propagation import label_propagation
 from .louvain import louvain_communities, modularity
 from .mst import minimum_spanning_forest
+from .quality import conductance, coverage, edge_cut
 from .salsa import salsa
 from .sampling import khop_sample, sample_neighbors
 from .pagerank import pagerank, personalized_pagerank
@@ -79,6 +80,9 @@ __all__ = [
     "jaccard_coefficients",
     "bibliographic_coupling",
     "cocitation",
+    "conductance",
+    "coverage",
+    "edge_cut",
     "link_prediction",
     "core_decomposition",
     "betweenness_centrality",
