@@ -39,6 +39,7 @@ from .subgraph_search import (
     subgraph_search,
 )
 from .triads import TRIAD_NAMES, triadic_census
+from .triangles import approx_triangle_count
 from .triangles import (
     triangle_count,
     triangle_total_reference,
@@ -78,6 +79,7 @@ __all__ = [
     "neighbourhood_function",
     "effective_diameter",
     "jaccard_coefficients",
+    "approx_triangle_count",
     "bibliographic_coupling",
     "cocitation",
     "conductance",

@@ -259,3 +259,52 @@ def triangles(graph: Graph, vertices: list[int] | None = None):
         got.select("in_pos").distinct(), "in_pos", graph.num_partitions, out_col="pos"
     )
     return got.join(pos, "in_pos").select("pos", "node", "triangles")
+
+
+def approx_triangle_count(
+    graph: Graph, p: float = 0.1, seed: int = 42
+) -> dict[str, float]:
+    """DOULION sampled triangle count (Tsourakakis et al., KDD'09).
+
+    Keep each undirected edge independently with probability ``p``
+    (deterministic: decided by a hash of the edge identity and ``seed``, so
+    the estimate is reproducible and partition-invariant), run the exact
+    degree-oriented kernel on the sparsified graph, and scale by 1/p³ — an
+    unbiased estimator whose input is p·m edges and whose wedge work shrinks
+    ~p² vs exact. THE scale path for the north-rule triangle kernel: at
+    p=0.1 the 10¹²-edge crawl graph's triangle pass runs on 10¹¹ edges with
+    ~1% of the wedge shuffle, at relative error O(1/√(p³·T)).
+
+    Returns {"estimate", "sampled_triangles", "p", "sampled_edges"}.
+    """
+    from ..plans.checkpoints import flat_checkpoint
+
+    if not 0.0 < p <= 1.0:
+        raise ValueError(f"p must be in (0, 1], got {p}")
+    und = _undirected_simple_edges(graph)
+    if p < 1.0:
+        scale = 1 << 30
+        und = und.filter(
+            F.pmod(F.xxhash64("u", "v", F.lit(seed)), F.lit(scale))
+            < F.lit(int(p * scale))
+        )
+    # Cut lineage + inherited stats BEFORE rebuilding: without this the
+    # sampled graph's every consumer drags the parent graph's full plan and
+    # its size estimates through the triangle kernel's join dispatch
+    # (measured 166 s -> 3 s on a 158-edge sample of K24).
+    sampled_edges = flat_checkpoint(
+        und.select(
+            F.col("u").alias("src"),
+            F.col("v").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+    )
+    sampled = Graph.from_edges(spark=graph.spark, src=sampled_edges)
+    m = sampled.edges.count()
+    t = triangle_count(sampled)
+    return {
+        "estimate": t / (p * p * p),
+        "sampled_triangles": float(t),
+        "p": p,
+        "sampled_edges": float(m) / 2.0,  # symmetric table
+    }

@@ -689,7 +689,95 @@ spark.stop()
 """
 
 
+MST_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from arkouda_njit_spark.session import get_spark
+from arkouda_njit_spark.graph import Graph
+from arkouda_njit_spark.operators import minimum_spanning_forest
+from arkouda_njit_spark.sources.generators import rmat_graph
+
+cpus = int(sys.argv[1])
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+raw = rmat_graph(spark, scale=%(mst_scale)d, edge_factor=%(mst_ef)d, seed=42)
+# deterministic pseudo-random weights from the edge identity
+weighted = raw.withColumn(
+    "weight", (F.pmod(F.xxhash64("src", "dst"), F.lit(100000)) + 1).cast("double"))
+g = Graph.from_edges(spark, weighted)
+edges = g.edges.count()
+small = Graph.from_edges(spark, rmat_graph(spark, scale=10, edge_factor=4, seed=7)
+                         .withColumn("weight", F.lit(1.0)))
+minimum_spanning_forest(small)  # JIT warmup
+t0 = time.time()
+msf = minimum_spanning_forest(g)
+n = msf.count()
+wall = time.time() - t0
+rows = msf.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+print(json.dumps({"cpus": cpus, "wall_sec": wall, "units": int(edges),
+                  "throughput": edges / wall, "iters_per_hour": None,
+                  "msf_edges": n,
+                  "partition_rows": {str(r["pid"]): r["count"] for r in rows}}))
+spark.stop()
+"""
+
+
+LINKPRED_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from arkouda_njit_spark.session import get_spark
+from arkouda_njit_spark.graph import Graph
+from arkouda_njit_spark.operators import link_prediction
+from arkouda_njit_spark.sources.generators import rmat_graph
+
+cpus = int(sys.argv[1])
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+raw = rmat_graph(spark, scale=%(lp_scale)d, edge_factor=%(lp_ef)d, seed=42)
+g = Graph.from_edges(spark, raw.withColumn("weight", F.lit(1.0)))
+edges = g.edges.count()
+# candidates = the distinct edge pairs themselves (the "score my existing
+# links" workload, the documented 100 TB path: cand >< adj >< adj)
+cand = g.edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+small = Graph.from_edges(spark, rmat_graph(spark, scale=10, edge_factor=4, seed=7)
+                         .withColumn("weight", F.lit(1.0)))
+link_prediction(small).count()  # JIT warmup
+t0 = time.time()
+out = link_prediction(g, candidates=cand)
+n = out.count()
+wall = time.time() - t0
+rows = out.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+print(json.dumps({"cpus": cpus, "wall_sec": wall, "units": int(edges),
+                  "throughput": edges / wall, "iters_per_hour": None,
+                  "scored_pairs": n,
+                  "partition_rows": {str(r["pid"]): r["count"] for r in rows}}))
+spark.stop()
+"""
+
+
 JOBS = {
+    "mst": (
+        MST_WORKER,
+        {
+            "repo": REPO,
+            "mst_scale": int(os.environ.get("SPARK_GRAFT_SCALING_MST_SCALE", "19")),
+            "mst_ef": int(os.environ.get("SPARK_GRAFT_SCALING_MST_EF", "8")),
+        },
+        f"boruvka_rmat{os.environ.get('SPARK_GRAFT_SCALING_MST_SCALE', '19')}",
+        "edges_per_sec",
+    ),
+    "linkpred": (
+        LINKPRED_WORKER,
+        {
+            "repo": REPO,
+            "lp_scale": int(os.environ.get("SPARK_GRAFT_SCALING_LP_SCALE", "19")),
+            "lp_ef": int(os.environ.get("SPARK_GRAFT_SCALING_LP_EF", "8")),
+        },
+        f"linkpred_cand_rmat{os.environ.get('SPARK_GRAFT_SCALING_LP_SCALE', '19')}",
+        "edges_per_sec",
+    ),
     "distsketch": (
         SKETCH_WORKER,
         {

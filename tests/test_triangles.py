@@ -121,3 +121,39 @@ def test_triangles_subset_localized_directed(spark):
         for r in triangles_per_vertex(g, vertices=[2]).collect()
     }
     assert got[2] == per[2] == 1
+
+
+class TestApproxTriangleCount:
+    def test_p_one_is_exact(self, spark):
+        from arkouda_njit_spark.operators import approx_triangle_count, triangle_count
+
+        g = Graph.from_edges(spark, *zip(*[(i, (i + 1) % 20) for i in range(20)] +
+                                         [(i, (i + 2) % 20) for i in range(20)]))
+        exact = triangle_count(g)
+        out = approx_triangle_count(g, p=1.0)
+        assert out["estimate"] == exact
+        assert out["sampled_triangles"] == exact
+
+    def test_sampled_estimate_close_on_dense_graph(self, spark):
+        import networkx as nx
+
+        from arkouda_njit_spark.operators import approx_triangle_count
+
+        # K24: C(24,3) = 2024 triangles; p=0.6 keeps variance small
+        edges = list(nx.complete_graph(24).edges())
+        g = Graph.from_edges(spark, [u for u, _ in edges], [v for _, v in edges])
+        out = approx_triangle_count(g, p=0.6, seed=42)
+        assert out["sampled_edges"] < len(edges)
+        assert abs(out["estimate"] - 2024) / 2024 < 0.25
+        # deterministic: same seed, same estimate
+        again = approx_triangle_count(g, p=0.6, seed=42)
+        assert again["estimate"] == out["estimate"]
+
+    def test_p_out_of_range_raises(self, spark):
+        import pytest as _pytest
+
+        from arkouda_njit_spark.operators import approx_triangle_count
+
+        g = Graph.from_edges(spark, [0, 1], [1, 2])
+        with _pytest.raises(ValueError):
+            approx_triangle_count(g, p=0.0)
