@@ -251,6 +251,184 @@ def repetition_signals(
     return out
 
 
+# Tiny public stand-in for C4's blocklist (the production list — "List of
+# Dirty, Naughty, Obscene..." — is an external asset; pass your own via
+# ``bad_words=``). Matching is word-boundary, case-insensitive.
+C4_BAD_WORDS_DEFAULT = ("badword1", "badword2")
+
+
+def c4_filters(
+    df: DataFrame,
+    col: str = "text",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    bad_words: tuple[str, ...] = C4_BAD_WORDS_DEFAULT,
+) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2, public) as pure column
+    expressions — no UDF, no shuffle, one codegen stage alongside the
+    Gopher flags.
+
+    Line level (producing ``c4_text``): keep only lines that end in a
+    terminal punctuation mark (``. ! ?`` or a closing quote), carry at
+    least ``min_words_per_line`` words, and do not mention "javascript"
+    (case-insensitive).
+
+    Document level (flags over the CLEANED text, as in the original):
+
+      * ``flag_c4_sentences`` — >= ``min_sentences`` sentences survive
+      * ``flag_c4_lorem``     — no "lorem ipsum"
+      * ``flag_c4_brace``     — no ``{`` (code, not prose)
+      * ``flag_c4_badwords``  — no blocklisted word
+      * ``c4_keep``           — all of the above
+
+    The corpus-wide half of C4 (duplicate three-sentence spans) is
+    :func:`c4_span_dedup` — it shuffles and therefore lives apart from
+    these embarrassingly-parallel flags.
+    """
+    c = F.col(col)
+    lines = F.transform(F.split(c, r"\n", -1), lambda ln: F.trim(ln))
+    kept = F.filter(
+        lines,
+        lambda ln: ln.rlike(r'[.!?]["’”]?$')
+        & (F.size(F.split(ln, _WS)) >= min_words_per_line)
+        & ~F.lower(ln).contains("javascript"),
+    )
+    out = df.withColumn("c4_text", F.array_join(kept, "\n"))
+    cleaned = F.col("c4_text")
+    n_sent = F.when(
+        F.length(cleaned) > 0,
+        F.size(F.split(cleaned, r"(?<=[.!?])[\s\n]+", -1)),
+    ).otherwise(F.lit(0))
+    low = F.lower(cleaned)
+    bad_re = r"(?i)\b(" + "|".join(bad_words) + r")\b"
+    return (
+        out.withColumn("c4_n_sentences", n_sent)
+        .withColumn("flag_c4_sentences", n_sent >= min_sentences)
+        .withColumn("flag_c4_lorem", ~low.contains("lorem ipsum"))
+        .withColumn("flag_c4_brace", ~cleaned.contains("{"))
+        .withColumn("flag_c4_badwords", ~cleaned.rlike(bad_re))
+        .withColumn(
+            "c4_keep",
+            F.col("flag_c4_sentences")
+            & F.col("flag_c4_lorem")
+            & F.col("flag_c4_brace")
+            & F.col("flag_c4_badwords"),
+        )
+    )
+
+
+def c4_span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = 3,
+    out: str = "text_dedup",
+) -> DataFrame:
+    """C4's corpus-wide dedup (Raffel et al. 2020 §2.2): any ``span``
+    consecutive sentences occurring more than once in the corpus are
+    removed from every document except the single earliest occurrence
+    (smallest ``(doc_id, position)``). Overlapping spans are hashed like
+    the original: a duplicated span marks all of its sentences for
+    removal at the non-first sites; surviving sentences are reassembled
+    in order.
+
+    Returns the input rows plus ``out`` and ``n_sents_removed``.
+
+    Scale shape (the :func:`paragraph_dedup` discipline): sentences
+    explode narrowly; span DIGESTS alone ride the corpus-wide groupBy
+    and the join back (md5, never sentence text); removal positions
+    explode to ``span`` rows each; one groupBy(doc) reassembles. No
+    windows over the corpus, no driver collect — every shuffle key is a
+    digest or the doc id.
+    """
+    sent_re = r"(?<=[.!?])[\s\n]+"
+    base = df.select(
+        F.col(id_col).alias("_doc"),
+        F.when(
+            F.length(F.trim(F.col(text_col))) > 0,
+            F.split(F.trim(F.col(text_col)), sent_re, -1),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_sents"),
+    )
+    n = F.size(F.col("_sents"))
+    # one digest per span start: md5 over the joined sentence window
+    spans = base.select(
+        "_doc",
+        F.posexplode(
+            F.when(
+                n >= span,
+                F.transform(
+                    F.sequence(F.lit(0), n - span),
+                    lambda i: F.md5(F.array_join(F.slice("_sents", i + 1, span), "\x1f")),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_pos", "_digest"),
+    )
+    stats = spans.groupBy("_digest").agg(
+        F.count("*").alias("_cnt"),
+        F.min(F.struct("_doc", "_pos")).alias("_first"),
+    )
+    dup_sites = (
+        spans.join(stats.filter(F.col("_cnt") >= 2), "_digest")
+        .filter(
+            (F.col("_doc") != F.col("_first._doc"))
+            | (F.col("_pos") != F.col("_first._pos"))
+        )
+        .select(
+            "_doc",
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + span - 1)
+            ).alias("_kill"),
+        )
+        .distinct()
+    )
+    sents = base.select(
+        "_doc", F.posexplode_outer("_sents").alias("_spos", "_sent")
+    )
+    survivors = sents.join(
+        dup_sites,
+        (sents["_doc"] == dup_sites["_doc"]) & (sents["_spos"] == dup_sites["_kill"]),
+        "left_anti",
+    )
+    # reassembled with single spaces (the splitter consumed the original
+    # inter-sentence whitespace)
+    rebuilt = (
+        survivors.filter(F.col("_sent").isNotNull())
+        .groupBy("_doc")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_spos", "_sent"))),
+                    lambda s: s["_sent"],
+                ),
+                " ",
+            ).alias(out)
+        )
+    )
+    n_sents = base.select(
+        "_doc", F.size("_sents").alias("_n_orig")
+    )
+    surv_counts = survivors.filter(F.col("_sent").isNotNull()).groupBy("_doc").agg(
+        F.count("*").alias("_n_surv")
+    )
+    return (
+        df.join(rebuilt, F.col(id_col) == rebuilt["_doc"], "left")
+        .drop("_doc")
+        .join(n_sents, F.col(id_col) == n_sents["_doc"], "left")
+        .drop("_doc")
+        .join(surv_counts, F.col(id_col) == surv_counts["_doc"], "left")
+        .drop("_doc")
+        .withColumn(out, F.coalesce(F.col(out), F.lit("")))
+        .withColumn(
+            "n_sents_removed",
+            F.coalesce(F.col("_n_orig"), F.lit(0))
+            - F.coalesce(F.col("_n_surv"), F.lit(0)),
+        )
+        .drop("_n_orig", "_n_surv")
+    )
+
+
 def shingles(col: str | Column, n: int = 3) -> Column:
     """Word n-gram shingles as strings (empty for docs shorter than n)."""
     t = tokens(col)

@@ -374,3 +374,63 @@ def build_web_graph(
         .agg(F.count("*").cast("double").alias("weight"))
     )
     return _string_keyed_digraph(dedup, "url", "href", P)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: tuple[str, ...] = ("src", "dst"),
+    weight: str = "weight",
+) -> DataFrame:
+    """Edge-level diff between two crawl snapshots' edge tables: one row
+    per edge present in either, with ``status`` in
+    ``{'added','removed','persisted'}`` plus ``weight_old``/``weight_new``
+    /``weight_delta`` (missing side = 0). Feeds re-crawl analytics (link
+    rot, churn rates) and incremental downstream updates.
+
+    Scale shape: ONE full outer equi-join on the edge key. Both snapshots
+    come out of ``Graph.from_edges``/``build_web_graph`` hash-partitioned
+    on the same key, so on bucketed storage the join is co-located
+    (no exchange); classification and deltas are column expressions in
+    the join's output stage. Summaries (``groupBy('status').count()``,
+    per-host churn) are map-side-combined aggregates on top.
+    """
+    kl = list(keys)
+    o = old.groupBy(*kl).agg(F.sum(weight).alias("weight_old"))
+    n = new.groupBy(*kl).agg(F.sum(weight).alias("weight_new"))
+    j = o.join(n, kl, "full_outer")
+    status = (
+        F.when(F.col("weight_old").isNull(), F.lit("added"))
+        .when(F.col("weight_new").isNull(), F.lit("removed"))
+        .otherwise(F.lit("persisted"))
+    )
+    return (
+        j.withColumn("status", status)
+        .withColumn("weight_old", F.coalesce("weight_old", F.lit(0.0)))
+        .withColumn("weight_new", F.coalesce("weight_new", F.lit(0.0)))
+        .withColumn("weight_delta", F.col("weight_new") - F.col("weight_old"))
+    )
+
+
+def page_churn(
+    old_pages: DataFrame, new_pages: DataFrame, url_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Per-url re-crawl churn between two pages snapshots: ``status`` in
+    ``{'added','removed','changed','unchanged'}`` by comparing content
+    digests. Only md5 digests ride the join — never page text/html —
+    so the shuffle is 16 bytes + url per row regardless of page size
+    (the same digests-only discipline as the dedup family)."""
+    o = old_pages.select(
+        F.col(url_col).alias("url"), F.md5(F.coalesce(text_col, F.lit(""))).alias("_do")
+    ).dropDuplicates(["url"])
+    n = new_pages.select(
+        F.col(url_col).alias("url"), F.md5(F.coalesce(text_col, F.lit(""))).alias("_dn")
+    ).dropDuplicates(["url"])
+    j = o.join(n, "url", "full_outer")
+    status = (
+        F.when(F.col("_do").isNull(), F.lit("added"))
+        .when(F.col("_dn").isNull(), F.lit("removed"))
+        .when(F.col("_do") == F.col("_dn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.withColumn("status", status).select("url", "status")

@@ -413,3 +413,53 @@ def test_anchor_table_on_generated_pages(spark, pages):
     # generator anchors are all the single letter 'l'
     assert {r["term"] for r in rows} == {"l"}
     assert all(r["rank"] == 1 for r in rows)
+
+
+class TestSnapshotDiff:
+    """Crawl-snapshot edge diff + per-url content churn."""
+
+    def test_snapshot_diff(self, spark):
+        from arkouda_njit_spark.sources import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, 2, 1.0), (1, 3, 2.0), (2, 3, 1.0)],
+            "src long, dst long, weight double",
+        )
+        new = spark.createDataFrame(
+            [(1, 2, 3.0), (2, 3, 1.0), (3, 4, 1.0)],
+            "src long, dst long, weight double",
+        )
+        got = {
+            (r["src"], r["dst"]): (r["status"], r["weight_old"], r["weight_new"], r["weight_delta"])
+            for r in snapshot_diff(old, new).collect()
+        }
+        assert got == {
+            (1, 2): ("persisted", 1.0, 3.0, 2.0),
+            (1, 3): ("removed", 2.0, 0.0, -2.0),
+            (2, 3): ("persisted", 1.0, 1.0, 0.0),
+            (3, 4): ("added", 0.0, 1.0, 1.0),
+        }
+
+    def test_snapshot_diff_aggregates_dup_edges(self, spark):
+        from arkouda_njit_spark.sources import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, 2, 1.0), (1, 2, 1.0)], "src long, dst long, weight double"
+        )
+        new = spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, weight double")
+        row = snapshot_diff(old, new).collect()[0]
+        assert (row["status"], row["weight_old"], row["weight_delta"]) == ("persisted", 2.0, -1.0)
+
+    def test_page_churn(self, spark):
+        from arkouda_njit_spark.sources import page_churn
+
+        old = spark.createDataFrame(
+            [("a", "same text"), ("b", "old text"), ("c", "gone")],
+            "url string, text string",
+        )
+        new = spark.createDataFrame(
+            [("a", "same text"), ("b", "NEW text"), ("d", "fresh")],
+            "url string, text string",
+        )
+        got = {r["url"]: r["status"] for r in page_churn(old, new).collect()}
+        assert got == {"a": "unchanged", "b": "changed", "c": "removed", "d": "added"}

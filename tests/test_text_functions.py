@@ -215,3 +215,169 @@ def test_top_ngram_char_frac_clamped(spark):
     df = spark.createDataFrame([(1, "a a a a a")], "doc_id long, text string")
     row = repetition_signals(df, ngram_sizes=(2,)).collect()[0]
     assert row["top_2gram_char_frac"] == 1.0
+
+
+class TestC4Filters:
+    """C4 line/document rules (Raffel et al. 2020 §2.2) with a pure-python
+    replay of the line filter."""
+
+    DOCS = [
+        (1, "This is a fine full sentence here.\nshort line.\n"
+            "Another good long sentence follows right here!\n"
+            "Enable javascript to view this page properly okay.\n"
+            "And a third proper sentence closes the document."),
+        (2, "lorem ipsum dolor sit amet something something here.\n"
+            "A perfectly good second sentence right here okay.\n"
+            "A perfectly good third sentence right here okay.\n"
+            "A perfectly good fourth sentence right here okay."),
+        (3, "function f() { return 1; } is not prose and has no terminal\n"
+            "Still we keep this line because it ends properly okay.\n"
+            "Still we keep this other line since it ends properly.\n"
+            "Still we keep one more line because it ends properly."),
+        (4, "Too few sentences survive this one.\nno punct line here\n"
+            "trailing words without any terminal"),
+        (5, ""),
+    ]
+
+    @staticmethod
+    def _replay_lines(text, min_words=5):
+        import re
+        kept = []
+        for ln in text.split("\n"):
+            ln = ln.strip()
+            if not re.search(r'[.!?]["’”]?$', ln):
+                continue
+            if len(ln.split()) < min_words:
+                continue
+            if "javascript" in ln.lower():
+                continue
+            kept.append(ln)
+        return "\n".join(kept)
+
+    def test_line_filter_matches_replay(self, spark):
+        from arkouda_njit_spark.functions import c4_filters
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in c4_filters(df).collect()}
+        for doc_id, text in self.DOCS:
+            assert got[doc_id]["c4_text"] == self._replay_lines(text), doc_id
+
+    def test_document_flags(self, spark):
+        from arkouda_njit_spark.functions import c4_filters
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in c4_filters(df).collect()}
+        assert got[1]["c4_keep"]  # javascript LINE removed, doc survives
+        assert "javascript" not in got[1]["c4_text"]
+        assert not got[2]["flag_c4_lorem"] and not got[2]["c4_keep"]
+        assert got[3]["flag_c4_brace"]  # the brace line had no terminal punct
+        assert not got[4]["flag_c4_sentences"] and not got[4]["c4_keep"]
+        assert got[5]["c4_text"] == "" and not got[5]["c4_keep"]
+
+    def test_bad_words_boundary(self, spark):
+        from arkouda_njit_spark.functions import c4_filters
+
+        df = spark.createDataFrame(
+            [(1, "The badword1 appears in this long enough sentence here.\n"
+                 "Second good long sentence keeps the document alive okay.\n"
+                 "Third good long sentence keeps the document alive okay."),
+             (2, "Notbadword1ish is a different longer token entirely here.\n"
+                 "Second good long sentence keeps the document alive okay.\n"
+                 "Third good long sentence keeps the document alive okay.")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in c4_filters(df).collect()}
+        assert not got[1]["flag_c4_badwords"]
+        assert got[2]["flag_c4_badwords"]  # word-boundary match only
+
+
+class TestC4SpanDedup:
+    """Corpus-wide duplicate three-sentence-span removal vs a pure-python
+    replay of the exact semantics."""
+
+    @staticmethod
+    def _replay(docs, span=3):
+        import hashlib
+        import re
+        from collections import defaultdict
+
+        sent_re = re.compile(r"(?<=[.!?])[\s\n]+")
+        sents = {
+            d: (sent_re.split(t.strip()) if t.strip() else [])
+            for d, t in docs
+        }
+        groups = defaultdict(list)
+        for d, ss in sents.items():
+            for i in range(len(ss) - span + 1):
+                dig = hashlib.md5(
+                    "\x1f".join(ss[i:i + span]).encode()
+                ).hexdigest()
+                groups[dig].append((d, i))
+        kill = defaultdict(set)
+        for occ in groups.values():
+            if len(occ) >= 2:
+                first = min(occ)
+                for d, i in occ:
+                    if (d, i) != first:
+                        kill[d].update(range(i, i + span))
+        out = {}
+        for d, ss in sents.items():
+            kept = [s for j, s in enumerate(ss) if j not in kill[d]]
+            out[d] = (" ".join(kept), len(ss) - len(kept))
+        return out
+
+    DOCS = [
+        (1, "Alpha one. Beta two. Gamma three. Delta four. Epsilon five."),
+        (2, "Intro line. Beta two. Gamma three. Delta four. Outro line."),
+        (3, "Beta two. Gamma three. Delta four."),
+        (4, "Unique stuff here. Totally different. Nothing shared at all."),
+        (5, "Short doc."),
+        (6, ""),
+    ]
+
+    def _check(self, spark, docs, span=3):
+        from arkouda_njit_spark.functions import c4_span_dedup
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["text_dedup"], r["n_sents_removed"])
+            for r in c4_span_dedup(df, span=span).collect()
+        }
+        want = self._replay(docs, span=span)
+        for d, _ in docs:
+            assert got[d] == want[d], (d, got[d], want[d])
+        return got
+
+    def test_matches_replay(self, spark):
+        got = self._check(spark, self.DOCS)
+        # doc 1 is the earliest occurrence of the shared span: untouched
+        assert got[1][1] == 0
+        # docs 2 and 3 lose the shared three sentences
+        assert got[2][1] == 3 and got[3][1] == 3
+        assert got[4][1] == 0 and got[5][1] == 0 and got[6] == ("", 0)
+
+    def test_within_doc_repeat(self, spark):
+        docs = [(1, "A one. B two. C three. Filler x. A one. B two. C three. Tail y.")]
+        self._check(spark, docs)
+
+    def test_overlapping_spans(self, spark):
+        # two overlapping duplicated spans: kills must union, not double
+        docs = [
+            (1, "S1 a. S2 b. S3 c. S4 d. S5 e."),
+            (2, "S1 a. S2 b. S3 c. S4 d. Different tail here."),
+        ]
+        self._check(spark, docs)
+
+    def test_partition_invariance(self, spark):
+        from arkouda_njit_spark.functions import c4_span_dedup
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        a = sorted(
+            (r["doc_id"], r["text_dedup"], r["n_sents_removed"])
+            for r in c4_span_dedup(df.repartition(1)).collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["text_dedup"], r["n_sents_removed"])
+            for r in c4_span_dedup(df.repartition(13)).collect()
+        )
+        assert a == b
