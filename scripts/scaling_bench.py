@@ -757,7 +757,56 @@ spark.stop()
 """
 
 
+DOULION_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from arkouda_njit_spark.session import get_spark
+from arkouda_njit_spark.graph import Graph
+from arkouda_njit_spark.operators import triangle_count, approx_triangle_count
+from arkouda_njit_spark.sources.generators import rmat_graph
+
+cpus = int(sys.argv[1])
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+raw = rmat_graph(spark, scale=%(dl_scale)d, edge_factor=%(dl_ef)d, seed=42)
+g = Graph.from_edges(spark, raw.withColumn("weight", F.lit(1.0)))
+edges = g.edges.count()
+small = Graph.from_edges(spark, rmat_graph(spark, scale=10, edge_factor=4, seed=7)
+                         .withColumn("weight", F.lit(1.0)))
+triangle_count(small)  # JIT warmup
+t0 = time.time()
+exact = triangle_count(g)
+wall_exact = time.time() - t0
+t0 = time.time()
+est = approx_triangle_count(g, p=%(dl_p)f, seed=42)
+wall = time.time() - t0
+rel_err = abs(est["estimate"] - exact) / exact if exact else 0.0
+# throughput = full-graph edges over the APPROX wall (the sampling pass
+# scans every edge once; the wedge work runs on the p-sample)
+print(json.dumps({"cpus": cpus, "wall_sec": wall, "units": int(edges),
+                  "throughput": edges / wall, "iters_per_hour": None,
+                  "exact_triangles": int(exact), "estimate": est["estimate"],
+                  "rel_err": rel_err, "wall_exact_sec": wall_exact,
+                  "sampled_edges": est["sampled_edges"],
+                  "partition_rows": {"0": int(est["sampled_edges"])}}))
+spark.stop()
+"""
+
+
 JOBS = {
+    "doulion": (
+        DOULION_WORKER,
+        {
+            "repo": REPO,
+            "dl_scale": int(os.environ.get("SPARK_GRAFT_SCALING_DL_SCALE", "20")),
+            "dl_ef": int(os.environ.get("SPARK_GRAFT_SCALING_DL_EF", "8")),
+            "dl_p": float(os.environ.get("SPARK_GRAFT_SCALING_DL_P", "0.1")),
+        },
+        f"doulion_p{os.environ.get('SPARK_GRAFT_SCALING_DL_P', '0.1')}"
+        f"_rmat{os.environ.get('SPARK_GRAFT_SCALING_DL_SCALE', '20')}",
+        "edges_per_sec",
+    ),
     "mst": (
         MST_WORKER,
         {
