@@ -42,7 +42,12 @@ def _normalize(rows, columns):
                 if math.isnan(v):
                     v = "nan"
                 else:
-                    v = round(v, 9)
+                    # the driver canonicalizes at 6 decimals; 9 here made the
+                    # test STRICTER than the gate it simulates and flaked when
+                    # a Spark-vs-DuckDB float-sum-order difference (~1e-10)
+                    # straddled a 9th-decimal rounding boundary (jaccard's
+                    # adamic_adar sum, round-5 full-suite run)
+                    v = round(v, 6)
             vals.append(v)
         out.append(tuple(vals))
     return sorted(out, key=repr)
