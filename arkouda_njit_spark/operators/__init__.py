@@ -27,7 +27,7 @@ from .mst import minimum_spanning_forest
 from .quality import conductance, coverage, edge_cut
 from .salsa import salsa
 from .sampling import khop_sample, sample_neighbors
-from .pagerank import pagerank, personalized_pagerank
+from .pagerank import pagerank, personalized_pagerank, ppr_montecarlo
 from .trustrank import spam_mass, trustrank
 from .scc import bowtie_decomposition, scc_sizes, strongly_connected_components
 from .squares import squares
@@ -98,6 +98,7 @@ __all__ = [
     "modularity",
     "pagerank",
     "personalized_pagerank",
+    "ppr_montecarlo",
     "bowtie_decomposition",
     "scc_sizes",
     "multi_source_shortest_paths",

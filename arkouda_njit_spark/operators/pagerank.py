@@ -252,3 +252,123 @@ def personalized_pagerank(
         dangling.unpersist()
     tvec.unpersist()
     return result
+
+
+def ppr_montecarlo(
+    graph: Graph,
+    sources: list,
+    walks_per_source: int = 2000,
+    alpha: float = 0.85,
+    max_steps: int = 60,
+    seed: int = 42,
+) -> DataFrame:
+    """Monte-Carlo personalized PageRank: estimate one PPR vector PER
+    SOURCE from the endpoints of geometrically-stopped random walks
+    (Fogaras et al. 2005; Bahmani, Chowdhury & Goel, VLDB 2010). This is
+    the per-user PPR path at 10^12-edge scale — the exact power iteration
+    (:func:`personalized_pagerank`) converges one global vector per call,
+    while the walk estimator prices each additional source at O(R/(1-α))
+    walk steps and shares every join across all sources in flight.
+
+    Semantics match the exact kernel's fixpoint: at each step a walk
+    continues with probability ``alpha`` and terminates otherwise; a walk
+    standing on a dangling vertex that continues jumps back to its source
+    (dangling mass restarts at the seed, pagerank.py:personalized_pagerank).
+    The endpoint distribution of the stopped walk IS the PPR vector:
+    pi_s(v) = (1-alpha) * sum_t alpha^t P^t(s, v).
+
+    Determinism without ``rand()``: the continue/terminate coin at step t
+    of walk w is ``pmod(xxhash64(w, t, seed), 2^30) < alpha*2^30`` and the
+    neighbor choice is ``min_by(dst, xxhash64(w, t, dst, seed))`` — pure
+    functions of (walk, step, candidate), invariant across partitionings
+    and cluster sizes (the random_walks discipline, walks.py:5-13).
+
+    Scale shape: the alive set shrinks by factor ``alpha`` per step, so
+    total shuffled candidate volume is O(R * S * avg_deg / (1-alpha))
+    16-byte rows for S sources; one join + one min_by aggregation + ONE
+    action per step (the count on the lazily-checkpointed hop, the
+    bfs.py one-job-per-level shape). Walks still alive at ``max_steps``
+    (an alpha^max_steps fraction, 6e-5 at the defaults) are emitted at
+    their current vertex — the truncation bias is far below the R^-1/2
+    sampling error.
+
+    Returns (source, vid, walks, ppr) — ``source`` is the source's vid,
+    ``ppr = walks / walks_per_source`` sums to exactly 1.0 per source.
+    ``sources`` are original vertex labels, like ``personalization``.
+    """
+    if not sources:
+        raise ValueError("at least one source label required")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    if walks_per_source < 1 or max_steps < 1:
+        raise ValueError("walks_per_source >= 1 and max_steps >= 1 required")
+    spark = graph.spark
+    R = walks_per_source
+    src_tbl = spark.createDataFrame(
+        [(int(s),) for s in sources], "label long"
+    ).distinct()
+    src_vids = graph.vertices.join(src_tbl, "label").select("vid")
+    n_src = src_vids.count()
+    if n_src != src_tbl.count():
+        raise ValueError("sources refer to labels not in the graph")
+
+    reps = F.broadcast(spark.range(R).select(F.col("id").alias("rep")))
+    state = (
+        src_vids.crossJoin(reps)
+        .select(
+            (F.col("vid") * R + F.col("rep")).alias("walk_id"),
+            F.col("vid").alias("source"),
+            F.col("vid").alias("cur"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    edges = graph.edges.select("src", "dst").persist()
+    thresh = int(alpha * (1 << 30))
+    ended = []  # each element filters a checkpointed state: flat lineage
+    for t in range(1, max_steps + 1):
+        coin = F.pmod(
+            F.xxhash64("walk_id", F.lit(t), F.lit(seed)), F.lit(1 << 30)
+        ) < F.lit(thresh)
+        ended.append(state.filter(~coin).select("source", "cur"))
+        alive = state.filter(coin)
+        choice = (
+            edges.join(alive.select("walk_id", F.col("cur").alias("src")), "src")
+            .groupBy("walk_id")
+            .agg(
+                F.min_by(
+                    F.col("dst"),
+                    F.xxhash64("walk_id", F.lit(t), "dst", F.lit(seed)),
+                ).alias("nxt")
+            )
+        )
+        hop = (
+            alive.join(choice, "walk_id", "left")
+            .select(
+                "walk_id",
+                "source",
+                # dangling vertex + continue coin: restart at the source
+                F.coalesce("nxt", "source").alias("cur"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        n_alive = hop.count()  # the step's ONE action; materializes the hop
+        state = hop
+        if n_alive == 0:
+            break
+    ended.append(state.select("source", "cur"))  # max_steps truncation
+    endpoints = ended[0]
+    for e in ended[1:]:
+        endpoints = endpoints.unionAll(e)
+    out = (
+        endpoints.groupBy("source", F.col("cur").alias("vid"))
+        .agg(F.count("*").alias("walks"))
+        .select(
+            "source",
+            "vid",
+            "walks",
+            (F.col("walks") / F.lit(float(R))).alias("ppr"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    edges.unpersist()
+    return out
