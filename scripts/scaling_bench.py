@@ -757,6 +757,44 @@ spark.stop()
 """
 
 
+PPRMC_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from arkouda_njit_spark.session import get_spark
+from arkouda_njit_spark.graph import Graph
+from arkouda_njit_spark.operators.pagerank import ppr_montecarlo
+from arkouda_njit_spark.sources.generators import rmat_graph
+
+cpus = int(sys.argv[1])
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+raw = rmat_graph(spark, scale=%(pm_scale)d, edge_factor=%(pm_ef)d, seed=42)
+g = Graph.from_edges(spark, raw.withColumn("weight", F.lit(1.0)))
+edges = g.edges.count()
+# deterministic source panel: the %(pm_sources)d lowest vids (hubs + fringe mix
+# is irrelevant to the plan shape — every source shares the same joins)
+labels = [r["label"] for r in g.vertices.orderBy("vid").limit(%(pm_sources)d).collect()]
+small = Graph.from_edges(spark, rmat_graph(spark, scale=10, edge_factor=4, seed=7)
+                         .withColumn("weight", F.lit(1.0)))
+sl = small.vertices.orderBy("vid").limit(2).collect()
+ppr_montecarlo(small, [r["label"] for r in sl], walks_per_source=50,
+               max_steps=10).count()  # JIT warmup
+t0 = time.time()
+out = ppr_montecarlo(g, labels, walks_per_source=%(pm_walks)d,
+                     max_steps=%(pm_steps)d, seed=42)
+n = out.count()
+wall = time.time() - t0
+walks = len(labels) * %(pm_walks)d
+rows = out.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+print(json.dumps({"cpus": cpus, "wall_sec": wall, "units": walks,
+                  "throughput": walks / wall, "iters_per_hour": None,
+                  "nonzero_entries": n,
+                  "partition_rows": {str(r["pid"]): r["count"] for r in rows}}))
+spark.stop()
+"""
+
+
 DOULION_WORKER = r"""
 import json, sys, time
 sys.path.insert(0, %(repo)r)
@@ -795,6 +833,20 @@ spark.stop()
 
 
 JOBS = {
+    "pprmc": (
+        PPRMC_WORKER,
+        {
+            "repo": REPO,
+            "pm_scale": int(os.environ.get("SPARK_GRAFT_SCALING_PM_SCALE", "19")),
+            "pm_ef": int(os.environ.get("SPARK_GRAFT_SCALING_PM_EF", "8")),
+            "pm_sources": int(os.environ.get("SPARK_GRAFT_SCALING_PM_SOURCES", "64")),
+            "pm_walks": int(os.environ.get("SPARK_GRAFT_SCALING_PM_WALKS", "500")),
+            "pm_steps": int(os.environ.get("SPARK_GRAFT_SCALING_PM_STEPS", "40")),
+        },
+        f"pprmc{os.environ.get('SPARK_GRAFT_SCALING_PM_SOURCES', '64')}src"
+        f"_rmat{os.environ.get('SPARK_GRAFT_SCALING_PM_SCALE', '19')}",
+        "walks_per_sec",
+    ),
     "doulion": (
         DOULION_WORKER,
         {
