@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.checkpoints import flat_checkpoint
 from .text import shingles, tokens
 
 
@@ -414,11 +415,19 @@ def dedup_clusters(
     from ..operators.connected_components import connected_components
 
     spark = pairs.sparkSession
-    edges = pairs.select(
-        F.col(a_col).cast("long").alias("src"),
-        F.col(b_col).cast("long").alias("dst"),
-        F.lit(1.0).alias("weight"),
+    edges = flat_checkpoint(
+        pairs.select(
+            F.col(a_col).cast("long").alias("src"),
+            F.col(b_col).cast("long").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
     )
+    # Lineage cut before the iterative kernel: `pairs` usually arrives as
+    # the whole LSH candidate pipeline, and without the checkpoint every
+    # AQE re-plan inside the CC fixpoint re-canonicalizes that full tree
+    # driver-side each round (pure planning cost, grows with pipeline
+    # depth). The pair table is the near-dup candidate set — tiny next to
+    # the corpus — so materializing it is free.
     g = Graph.from_edges(spark, edges, no_self_loops=False)
     comp = connected_components(g)
     labels = g.vertices.select("vid", F.col("label").alias("doc_id"))

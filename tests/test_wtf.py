@@ -53,3 +53,26 @@ def test_guards(spark):
         who_to_follow(g, user=0, k=0)
     with pytest.raises(ValueError):
         who_to_follow(g, user=0, circle_size=0)
+
+
+def test_montecarlo_circle_matches_exact_recommendations(spark):
+    g = _g(spark)
+    exact = who_to_follow(
+        g, user=0, k=3, circle_size=10, ppr_iterations=20, salsa_iterations=6
+    ).collect()
+    mc = who_to_follow(
+        g, user=0, k=3, circle_size=10, salsa_iterations=6,
+        method="montecarlo", mc_walks=600, mc_max_steps=10, mc_seed=9,
+    ).collect()
+    # the circle only needs the PPR RANKING; with 600 walks on this tiny
+    # neighborhood the MC circle equals the exact one, so the SALSA stage
+    # sees the same projection and the recommendations agree exactly
+    # (10 steps keeps the sequential-job count — and the suite's wall —
+    # bounded; deeper walks only shave truncation bias the ranking
+    # doesn't need)
+    assert [r["node"] for r in mc] == [r["node"] for r in exact]
+
+
+def test_method_guard(spark):
+    with pytest.raises(ValueError):
+        who_to_follow(_g(spark), user=0, method="nope")
