@@ -127,6 +127,42 @@ spark.stop()
 """
 
 
+SKIPGRAM_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from arkouda_njit_spark.session import get_spark
+from arkouda_njit_spark import Graph
+from arkouda_njit_spark.operators import random_walks
+from arkouda_njit_spark.functions.embeddings import train_skipgram
+from arkouda_njit_spark.sources.generators import rmat_graph
+
+cpus = int(sys.argv[1])
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+raw = rmat_graph(spark, scale=%(sgm_scale)d, edge_factor=%(sgm_ef)d, seed=42)
+g = Graph.from_edges(spark, raw.withColumn("weight", F.lit(1.0)))
+# corpus is built once OUTSIDE the timed window — the job measures the
+# trainer (pair construction + SGD + delta reduce), not the walk kernel
+walks = random_walks(g, walk_length=%(sgm_len)d, walks_per_vertex=1, seed=1)
+walks = walks.repartition(cpus, "walk_id").localCheckpoint(eager=True)
+small = Graph.from_edges(spark, rmat_graph(spark, scale=11, edge_factor=4, seed=7)
+                         .withColumn("weight", F.lit(1.0)))
+train_skipgram(random_walks(small, walk_length=4), dim=8, epochs=1,
+               num_partitions=cpus)  # JIT/Arrow warmup
+t0 = time.time()
+model = train_skipgram(walks, dim=%(sgm_dim)d, window=4, negatives=5,
+                       epochs=%(sgm_epochs)d, seed=9, num_partitions=cpus)
+wall = time.time() - t0
+pairs = sum(m.pairs for m in model.metrics)
+rows = walks.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+print(json.dumps({"cpus": cpus, "wall_sec": wall, "units": int(pairs),
+                  "throughput": pairs / wall, "iters_per_hour": None,
+                  "partition_rows": {str(r["pid"]): r["count"] for r in rows}}))
+spark.stop()
+"""
+
+
 NODE2VEC_WORKER = r"""
 import json, sys, time
 sys.path.insert(0, %(repo)r)
@@ -833,6 +869,21 @@ spark.stop()
 
 
 JOBS = {
+    "skipgram": (
+        SKIPGRAM_WORKER,
+        {
+            "repo": REPO,
+            "sgm_scale": int(os.environ.get("SPARK_GRAFT_SCALING_SGM_SCALE", "17")),
+            "sgm_ef": int(os.environ.get("SPARK_GRAFT_SCALING_SGM_EF", "8")),
+            "sgm_len": int(os.environ.get("SPARK_GRAFT_SCALING_SGM_LEN", "10")),
+            "sgm_dim": int(os.environ.get("SPARK_GRAFT_SCALING_SGM_DIM", "32")),
+            "sgm_epochs": int(os.environ.get("SPARK_GRAFT_SCALING_SGM_EPOCHS", "2")),
+        },
+        f"skipgram_rmat{os.environ.get('SPARK_GRAFT_SCALING_SGM_SCALE', '17')}"
+        f"_d{os.environ.get('SPARK_GRAFT_SCALING_SGM_DIM', '32')}"
+        f"_len{os.environ.get('SPARK_GRAFT_SCALING_SGM_LEN', '10')}",
+        "pairs_per_sec",
+    ),
     "pprmc": (
         PPRMC_WORKER,
         {
