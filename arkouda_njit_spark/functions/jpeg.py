@@ -6,16 +6,18 @@ NotImplementedError at the decode call site because PIL is absent from
 the container. This module implements the BASELINE profile from the
 public spec only:
 
-* **encode**: 8-bit RGB or grayscale, 4:4:4 (no chroma subsampling),
-  JFIF APP0, Annex-K quantization tables scaled by ``quality``, Annex-K
-  Huffman tables, standard zigzag + DC-differential entropy coding with
-  0xFF byte stuffing.
+* **encode**: 8-bit RGB or grayscale, 4:4:4 or 4:2:0 chroma subsampling
+  (``subsampling="420"`` — 2x2 box-averaged chroma, 2x2-factor luma
+  MCUs), JFIF APP0, Annex-K quantization tables scaled by ``quality``,
+  Annex-K Huffman tables, standard zigzag + DC-differential entropy
+  coding with 0xFF byte stuffing.
 * **decode**: baseline sequential SOF0, Huffman tables read from the
   FILE's DHT segments (so real-world baseline JPEGs decode with their
   own tables), DRI/RSTn restart markers, grayscale or 3-component YCbCr
-  with 1x1 sampling factors. Progressive (SOF2) and subsampled (4:2:0)
-  streams raise ``NotImplementedError`` — honestly partial, like the
-  mp4 stub, rather than silently wrong.
+  with arbitrary integer-ratio sampling factors (4:4:4, 4:2:0, 4:2:2,
+  4:4:0 — 4:2:0 is what virtually every camera/web JPEG ships).
+  Progressive (SOF2) streams raise ``NotImplementedError`` — honestly
+  partial, like the mp4 stub, rather than silently wrong.
 
 Everything numeric is vectorized numpy (matrix DCT over all blocks at
 once); the only per-element Python is the Huffman bit stream, which is
@@ -260,8 +262,26 @@ def _blockify(plane: np.ndarray) -> np.ndarray:
     )
 
 
-def jpeg_encode(pixels: np.ndarray, quality: int = 90) -> bytes:
-    """Baseline JFIF encode of (H, W) grayscale or (H, W, 3) RGB uint8."""
+def _pad_edge(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    """Edge-replicate pad a (H, W) plane to multiples of (mh, mw)."""
+    h, w = plane.shape
+    ph, pw = (-h) % mh, (-w) % mw
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def jpeg_encode(
+    pixels: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """Baseline JFIF encode of (H, W) grayscale or (H, W, 3) RGB uint8.
+
+    ``subsampling="444"`` keeps full-resolution chroma (1x1 factors);
+    ``"420"`` box-averages chroma 2x2 and interleaves 2x2-factor luma MCUs
+    — the layout virtually every real-world baseline JPEG uses. Grayscale
+    input ignores the flag (there is no chroma to subsample)."""
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     px = np.asarray(pixels)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -278,16 +298,47 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90) -> bytes:
         ]
     else:
         planes = [px[:, :, 0]]
+    use420 = subsampling == "420" and nc == 3
     qluma = _scaled_quant(QUANT_LUMA, quality)
     qchroma = _scaled_quant(QUANT_CHROMA, quality)
     quants = [qluma] + [qchroma] * (len(planes) - 1)
 
-    comps_zz = []
-    for plane, q in zip(planes, quants):
-        blocks = _blockify(plane - 128.0)
+    def dct_quant(blocks: np.ndarray, q: np.ndarray) -> np.ndarray:
         coef = np.einsum("kn,bnm,lm->bkl", _T, blocks, _T)
-        zz = np.round(coef.reshape(-1, 64)[:, ZIGZAG] / q[ZIGZAG]).astype(np.int64)
-        comps_zz.append(zz)
+        return np.round(coef.reshape(-1, 64)[:, ZIGZAG] / q[ZIGZAG]).astype(np.int64)
+
+    comps_zz = []  # per component: (n_mcu, blocks_per_mcu, 64) in MCU order
+    if use420:
+        # MCU = 16x16 pixels: four 2x2-raster luma blocks + one block per
+        # chroma plane box-averaged 2x2 (pad first so the average never
+        # mixes replicated and real pixels asymmetrically across blocks).
+        mcuy, mcux = (h + 15) // 16, (w + 15) // 16
+        n_mcu = mcuy * mcux
+        y = _pad_edge(planes[0], 16, 16) - 128.0
+        yb = (
+            y.reshape(mcuy, 2, 8, mcux, 2, 8)
+            .transpose(0, 3, 1, 4, 2, 5)
+            .reshape(n_mcu * 4, 8, 8)
+        )
+        comps_zz.append(dct_quant(yb, qluma).reshape(n_mcu, 4, 64))
+        for cplane in planes[1:]:
+            csub = (
+                _pad_edge(cplane, 16, 16)
+                .reshape(mcuy * 8, 2, mcux * 8, 2)
+                .mean(axis=(1, 3))
+                - 128.0
+            )
+            cb = (
+                csub.reshape(mcuy, 8, mcux, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(n_mcu, 8, 8)
+            )
+            comps_zz.append(dct_quant(cb, qchroma).reshape(n_mcu, 1, 64))
+    else:
+        # 1x1 factors: MCU = one block per component, raster order
+        for plane, q in zip(planes, quants):
+            zz = dct_quant(_blockify(plane - 128.0), q)
+            comps_zz.append(zz.reshape(-1, 1, 64))
 
     dc_l = _huff_codes(*DC_LUMA_SPEC)
     ac_l = _huff_codes(*AC_LUMA_SPEC)
@@ -295,11 +346,10 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90) -> bytes:
     ac_c = _huff_codes(*AC_CHROMA_SPEC)
     writer = _BitWriter()
     preds = [0] * len(planes)
-    # 4:4:4, 1x1 factors: MCU = one block per component, interleaved
     for b in range(comps_zz[0].shape[0]):
         for ci, zz in enumerate(comps_zz):
             dc, ac = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
-            preds[ci] = _encode_component(writer, zz[b : b + 1], dc, ac, preds[ci])
+            preds[ci] = _encode_component(writer, zz[b], dc, ac, preds[ci])
     scan = writer.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -312,7 +362,8 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90) -> bytes:
         out += seg(0xDB, b"\x01" + bytes(qchroma[ZIGZAG].astype(np.uint8)))
     sof = struct.pack(">BHHB", 8, h, w, len(planes))
     for ci in range(len(planes)):
-        sof += struct.pack(">BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+        hv = 0x22 if (use420 and ci == 0) else 0x11
+        sof += struct.pack(">BBB", ci + 1, hv, 0 if ci == 0 else 1)
     out += seg(0xC0, sof)
     for tc_th, spec in (
         (0x00, DC_LUMA_SPEC),
@@ -418,8 +469,9 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     """Decode a baseline sequential JPEG to (H, W) or (H, W, 3) uint8.
 
     Supports: SOF0, per-file DQT/DHT tables, DRI/RSTn, grayscale and
-    3-component 4:4:4. Raises NotImplementedError for progressive SOFs
-    and subsampled (non-1x1) components."""
+    3-component YCbCr at any integer-ratio sampling factors (4:4:4,
+    4:2:0, 4:2:2, ...), nearest-neighbor chroma upsampling. Raises
+    NotImplementedError for progressive SOFs."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -471,12 +523,10 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if hv != 0x11:
-                    raise NotImplementedError(
-                        "subsampled (non-1x1) components not supported; "
-                        "baseline 4:4:4 / grayscale only"
-                    )
-                comps.append((cid, tq))
+                hi, vi = hv >> 4, hv & 0xF
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"bad sampling factors {hi}x{vi}")
+                comps.append((cid, tq, hi, vi))
             frame = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("progressive/hierarchical JPEG not supported")
@@ -491,9 +541,21 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 cs, tdta = body[1 + 2 * si : 3 + 2 * si]
                 scan_tabs.append((cs, tdta >> 4, tdta & 0xF))
             h, w, comps = frame
-            bw, bh = (w + 7) // 8, (h + 7) // 8
-            n_mcu = bw * bh
-            coefs = [np.zeros((n_mcu, 64), dtype=np.int64) for _ in comps]
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "non-interleaved multi-scan baseline not supported"
+                )
+            comp_by_id = {c[0]: c for c in comps}
+            scan_comps = [comp_by_id[cs] for cs, _, _ in scan_tabs]
+            hmax = max(c[2] for c in comps)
+            vmax = max(c[3] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            n_mcu = mcux * mcuy
+            coefs = [
+                np.zeros((n_mcu, c[2] * c[3], 64), dtype=np.int64)
+                for c in scan_comps
+            ]
             reader = _BitReader(data, pos + ln)
             preds = [0] * len(comps)
             mcu = 0
@@ -501,25 +563,27 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 try:
                     for si, (cs, td, ta) in enumerate(scan_tabs):
                         dc_tab, ac_tab = huff_dc[td], huff_ac[ta]
-                        zz = coefs[si][mcu]
-                        cat = _read_symbol(reader, dc_tab)
-                        diff = _extend(reader.bits(cat), cat)
-                        preds[si] += diff
-                        zz[0] = preds[si]
-                        k = 1
-                        while k <= 63:
-                            rs = _read_symbol(reader, ac_tab)
-                            run, cat = rs >> 4, rs & 0xF
-                            if cat == 0:
-                                if run == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            zz[k] = _extend(reader.bits(cat), cat)
-                            k += 1
+                        _, _, hi, vi = scan_comps[si]
+                        for bi in range(hi * vi):
+                            zz = coefs[si][mcu, bi]
+                            cat = _read_symbol(reader, dc_tab)
+                            diff = _extend(reader.bits(cat), cat)
+                            preds[si] += diff
+                            zz[0] = preds[si]
+                            k = 1
+                            while k <= 63:
+                                rs = _read_symbol(reader, ac_tab)
+                                run, cat = rs >> 4, rs & 0xF
+                                if cat == 0:
+                                    if run == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += run
+                                if k > 63:
+                                    raise ValueError("AC run past block end")
+                                zz[k] = _extend(reader.bits(cat), cat)
+                                k += 1
                     mcu += 1
                 except _RestartMarker:
                     # RSTn sits between MCUs: re-align, skip the marker, reset
@@ -529,25 +593,34 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                     # first, so the aborted attempt may have scribbled into
                     # this MCU's coefficients — zero them before the retry.
                     for c in coefs:
-                        c[mcu, :] = 0
+                        c[mcu, :, :] = 0
                     reader.align()
                     reader.pos += 2
                     preds = [0] * len(comps)
-            # reconstruct planes
+            # reconstruct planes: blocks land at grid (my*vi+dy, mx*hi+dx),
+            # then nearest-neighbor upsample each plane to the hmax/vmax grid
             planes = []
             for si, (cs, td, ta) in enumerate(scan_tabs):
-                cid, tq = comps[si]
+                cid, tq, hi, vi = scan_comps[si]
                 q = quant[tq]
-                nat = np.zeros((n_mcu, 64), dtype=np.float64)
-                nat[:, ZIGZAG] = coefs[si]
-                nat *= q[None, :]
+                nat = np.zeros((n_mcu, hi * vi, 64), dtype=np.float64)
+                nat[:, :, ZIGZAG] = coefs[si]
+                nat *= q[None, None, :]
                 blocks = nat.reshape(-1, 8, 8)
                 pix = np.einsum("kn,bkl,lm->bnm", _T, blocks, _T) + 128.0
                 full = (
-                    pix.reshape(bh, bw, 8, 8)
-                    .transpose(0, 2, 1, 3)
-                    .reshape(bh * 8, bw * 8)
+                    pix.reshape(mcuy, mcux, vi, hi, 8, 8)
+                    .transpose(0, 2, 4, 1, 3, 5)
+                    .reshape(mcuy * vi * 8, mcux * hi * 8)
                 )
+                if hi != hmax or vi != vmax:
+                    if hmax % hi or vmax % vi:
+                        raise NotImplementedError(
+                            "non-integer chroma upsampling ratios not supported"
+                        )
+                    full = np.repeat(
+                        np.repeat(full, vmax // vi, axis=0), hmax // hi, axis=1
+                    )
                 planes.append(full[:h, :w])
             if len(planes) == 1:
                 return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)

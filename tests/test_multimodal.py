@@ -477,7 +477,7 @@ class TestJpegCodec:
         px = self._smooth(16, 24)
         assert jpeg_encode(px, quality=80) == jpeg_encode(px, quality=80)
 
-    def test_rejects_garbage_progressive_and_subsampled(self):
+    def test_rejects_garbage_and_progressive(self):
         from arkouda_njit_spark.functions import jpeg_decode, jpeg_encode
 
         with pytest.raises(ValueError):
@@ -488,10 +488,42 @@ class TestJpegCodec:
         prog = bytes(data[:sof]) + b"\xff\xc2" + bytes(data[sof + 2:])
         with pytest.raises(NotImplementedError, match="progressive"):
             jpeg_decode(prog)
-        sub = bytearray(data)
-        sub[sof + 11] = 0x22  # luma sampling factors 2x2 -> 4:2:0
-        with pytest.raises(NotImplementedError, match="subsampled|1x1"):
-            jpeg_decode(bytes(sub))
+
+    def test_420_round_trip_bounded_error(self):
+        # 4:2:0 is what real camera/web JPEGs ship: 2x2-factor luma MCUs,
+        # box-averaged chroma, nearest-neighbor upsample on decode. Chroma
+        # is lossy by design, so the bound is looser than 4:4:4 but must
+        # stay recognizably the image at every pad geometry (odd dims pad
+        # to 16, not 8).
+        from arkouda_njit_spark.functions import jpeg_decode, jpeg_encode
+
+        for h, w in [(32, 32), (17, 31), (8, 8), (16, 24), (5, 3)]:
+            px = self._smooth(h, w)
+            data = jpeg_encode(px, quality=90, subsampling="420")
+            sof = data.find(b"\xff\xc0")
+            assert data[sof + 11] == 0x22  # luma factors really are 2x2
+            back = jpeg_decode(data)
+            assert back.shape == px.shape
+            err = np.abs(back.astype(int) - px.astype(int)).mean()
+            assert err < 10, (h, w, err)
+
+    def test_420_smaller_than_444_same_quality(self):
+        from arkouda_njit_spark.functions import jpeg_encode
+
+        px = self._smooth(64, 64)
+        assert len(jpeg_encode(px, quality=90, subsampling="420")) < len(
+            jpeg_encode(px, quality=90, subsampling="444")
+        )
+
+    def test_420_grayscale_ignores_flag_and_bad_flag_raises(self):
+        from arkouda_njit_spark.functions import jpeg_encode
+
+        g = self._smooth(16, 16, ch=1)
+        assert jpeg_encode(g, quality=90, subsampling="420") == jpeg_encode(
+            g, quality=90, subsampling="444"
+        )
+        with pytest.raises(ValueError, match="subsampling"):
+            jpeg_encode(g, quality=90, subsampling="422")
 
     def test_decodes_restart_marker_stream(self):
         # hand-assemble a 3-MCU grayscale scan with DRI=1 and RST0/RST1
