@@ -262,6 +262,11 @@ def _blockify(plane: np.ndarray) -> np.ndarray:
     )
 
 
+#: luma sampling factors (fh, fv) per subsampling mode; chroma is always
+#: 1x1, so chroma is stored at (1/fh, 1/fv) of luma resolution.
+_SUBSAMPLE_FACTORS = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
 def _pad_edge(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
     """Edge-replicate pad a (H, W) plane to multiples of (mh, mw)."""
     h, w = plane.shape
@@ -278,10 +283,11 @@ def jpeg_encode(
 
     ``subsampling="444"`` keeps full-resolution chroma (1x1 factors);
     ``"420"`` box-averages chroma 2x2 and interleaves 2x2-factor luma MCUs
-    — the layout virtually every real-world baseline JPEG uses. Grayscale
-    input ignores the flag (there is no chroma to subsample)."""
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    — the layout virtually every real-world baseline JPEG uses; ``"422"``
+    halves chroma horizontally only (2x1 luma factors). Grayscale input
+    ignores the flag (there is no chroma to subsample)."""
+    if subsampling not in _SUBSAMPLE_FACTORS:
+        raise ValueError("subsampling must be '444', '422' or '420'")
     px = np.asarray(pixels)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -298,7 +304,7 @@ def jpeg_encode(
         ]
     else:
         planes = [px[:, :, 0]]
-    use420 = subsampling == "420" and nc == 3
+    fh, fv = _SUBSAMPLE_FACTORS[subsampling] if nc == 3 else (1, 1)
     qluma = _scaled_quant(QUANT_LUMA, quality)
     qchroma = _scaled_quant(QUANT_CHROMA, quality)
     quants = [qluma] + [qchroma] * (len(planes) - 1)
@@ -308,23 +314,25 @@ def jpeg_encode(
         return np.round(coef.reshape(-1, 64)[:, ZIGZAG] / q[ZIGZAG]).astype(np.int64)
 
     comps_zz = []  # per component: (n_mcu, blocks_per_mcu, 64) in MCU order
-    if use420:
-        # MCU = 16x16 pixels: four 2x2-raster luma blocks + one block per
-        # chroma plane box-averaged 2x2 (pad first so the average never
-        # mixes replicated and real pixels asymmetrically across blocks).
-        mcuy, mcux = (h + 15) // 16, (w + 15) // 16
+    if (fh, fv) != (1, 1):
+        # MCU = (8*fv)x(8*fh) pixels: fh*fv raster-order luma blocks + one
+        # block per chroma plane box-averaged (fv, fh) (pad first so the
+        # average never mixes replicated and real pixels asymmetrically
+        # across blocks).
+        mcuh, mcuw = 8 * fv, 8 * fh
+        mcuy, mcux = -(-h // mcuh), -(-w // mcuw)
         n_mcu = mcuy * mcux
-        y = _pad_edge(planes[0], 16, 16) - 128.0
+        y = _pad_edge(planes[0], mcuh, mcuw) - 128.0
         yb = (
-            y.reshape(mcuy, 2, 8, mcux, 2, 8)
+            y.reshape(mcuy, fv, 8, mcux, fh, 8)
             .transpose(0, 3, 1, 4, 2, 5)
-            .reshape(n_mcu * 4, 8, 8)
+            .reshape(n_mcu * fv * fh, 8, 8)
         )
-        comps_zz.append(dct_quant(yb, qluma).reshape(n_mcu, 4, 64))
+        comps_zz.append(dct_quant(yb, qluma).reshape(n_mcu, fv * fh, 64))
         for cplane in planes[1:]:
             csub = (
-                _pad_edge(cplane, 16, 16)
-                .reshape(mcuy * 8, 2, mcux * 8, 2)
+                _pad_edge(cplane, mcuh, mcuw)
+                .reshape(mcuy * 8, fv, mcux * 8, fh)
                 .mean(axis=(1, 3))
                 - 128.0
             )
@@ -362,7 +370,7 @@ def jpeg_encode(
         out += seg(0xDB, b"\x01" + bytes(qchroma[ZIGZAG].astype(np.uint8)))
     sof = struct.pack(">BHHB", 8, h, w, len(planes))
     for ci in range(len(planes)):
-        hv = 0x22 if (use420 and ci == 0) else 0x11
+        hv = (fh << 4) | fv if ci == 0 else 0x11
         sof += struct.pack(">BBB", ci + 1, hv, 0 if ci == 0 else 1)
     out += seg(0xC0, sof)
     for tc_th, spec in (

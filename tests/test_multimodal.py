@@ -489,23 +489,24 @@ class TestJpegCodec:
         with pytest.raises(NotImplementedError, match="progressive"):
             jpeg_decode(prog)
 
-    def test_420_round_trip_bounded_error(self):
+    def test_subsampled_round_trip_bounded_error(self):
         # 4:2:0 is what real camera/web JPEGs ship: 2x2-factor luma MCUs,
-        # box-averaged chroma, nearest-neighbor upsample on decode. Chroma
-        # is lossy by design, so the bound is looser than 4:4:4 but must
-        # stay recognizably the image at every pad geometry (odd dims pad
-        # to 16, not 8).
+        # box-averaged chroma, nearest-neighbor upsample on decode; 4:2:2
+        # halves chroma horizontally only. Chroma is lossy by design, so
+        # the bound is looser than 4:4:4 but must stay recognizably the
+        # image at every pad geometry (odd dims pad to the MCU size, not 8).
         from arkouda_njit_spark.functions import jpeg_decode, jpeg_encode
 
-        for h, w in [(32, 32), (17, 31), (8, 8), (16, 24), (5, 3)]:
-            px = self._smooth(h, w)
-            data = jpeg_encode(px, quality=90, subsampling="420")
-            sof = data.find(b"\xff\xc0")
-            assert data[sof + 11] == 0x22  # luma factors really are 2x2
-            back = jpeg_decode(data)
-            assert back.shape == px.shape
-            err = np.abs(back.astype(int) - px.astype(int)).mean()
-            assert err < 10, (h, w, err)
+        for sub, luma_hv in (("420", 0x22), ("422", 0x21)):
+            for h, w in [(32, 32), (17, 31), (8, 8), (16, 24), (5, 3)]:
+                px = self._smooth(h, w)
+                data = jpeg_encode(px, quality=90, subsampling=sub)
+                sof = data.find(b"\xff\xc0")
+                assert data[sof + 11] == luma_hv
+                back = jpeg_decode(data)
+                assert back.shape == px.shape
+                err = np.abs(back.astype(int) - px.astype(int)).mean()
+                assert err < 10, (sub, h, w, err)
 
     def test_420_smaller_than_444_same_quality(self):
         from arkouda_njit_spark.functions import jpeg_encode
@@ -523,7 +524,7 @@ class TestJpegCodec:
             g, quality=90, subsampling="444"
         )
         with pytest.raises(ValueError, match="subsampling"):
-            jpeg_encode(g, quality=90, subsampling="422")
+            jpeg_encode(g, quality=90, subsampling="411")
 
     def test_decodes_restart_marker_stream(self):
         # hand-assemble a 3-MCU grayscale scan with DRI=1 and RST0/RST1
