@@ -528,6 +528,14 @@ def _lzw_encode(indices, min_code_size: int) -> bytes:
             table, next_code, width = reset()
     if buf:
         bw.write(table[buf], width)
+        # the decoder appends one table entry per code READ (lagging the
+        # encoder's adds by one), so it still fills slot ``next_code`` on
+        # this final data code — and widens if that lands exactly on
+        # 1<<width. Mirror that here or END is written one bit short
+        # (only bites when the stream length hits the boundary exactly;
+        # found by the hypothesis round-trip test).
+        if next_code == (1 << width) and width < 12 and next_code > end + 1:
+            width += 1
     bw.write(end, width)
     return bw.flush()
 

@@ -268,6 +268,30 @@ class TestGifCodec:
             assert data[:6] == b"GIF89a"
             assert np.array_equal(gif_decode(data), px), (h, w, ncol)
 
+    def test_lzw_width_boundary_on_final_code(self):
+        # regression (hypothesis-found): when the decoder's per-code table
+        # append lands exactly on 1<<width at the FINAL data code, it widens
+        # before reading END — the encoder's tail flush must mirror that
+        # widen or END is written one bit short and the decoder runs off
+        # the stream ("ended without an end-of-information code")
+        from arkouda_njit_spark.functions import gif_decode, gif_encode
+        from arkouda_njit_spark.functions.multimodal import (
+            _lzw_decode,
+            _lzw_encode,
+        )
+
+        idx = [0, 2, 2, 0, 0, 2, 2, 0, 1, 2, 0, 2, 1, 1, 1]  # minimal repro
+        assert _lzw_decode(_lzw_encode(idx, 2), 2) == idx
+        # every stream length crosses the boundary somewhere:
+        for mcs in (2, 3):
+            for ln in range(1, 120):
+                seq = [i % 2 for i in range(ln)]
+                assert _lzw_decode(_lzw_encode(seq, mcs), mcs) == seq, (mcs, ln)
+        rng = np.random.default_rng(1)
+        pal = rng.integers(0, 256, size=(3, 3), dtype=np.uint8)
+        px = pal[rng.integers(0, 3, size=(3, 5))]
+        assert np.array_equal(gif_decode(gif_encode(px)), px)
+
     def test_lzw_table_clear_on_big_noise_image(self):
         # 64x64 of 256 colors builds >4096 LZW entries -> exercises the
         # mid-stream CLEAR + table reset path on both sides
