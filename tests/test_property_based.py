@@ -183,3 +183,40 @@ def test_wav_round_trip_random(n, ch, seed):
     back, sr = wav_decode(wav_encode(sig, sample_rate=8000))
     assert sr == 8000 and back.shape == (n, ch)
     assert np.abs(back - sig).max() <= 1 / 32767 + 1e-12 if n else True
+
+
+@given(idx=st.lists(st.integers(0, 3), min_size=0, max_size=400),
+       mcs=st.integers(2, 4))
+@settings(max_examples=40, deadline=None)
+def test_gif_lzw_small_code_size_round_trip(idx, mcs):
+    # small-alphabet streams cross width boundaries fastest — the regime
+    # where the tail-flush widen bug (test_multimodal) lived; mcs=2 is the
+    # spec floor and was outside the 4..8 range of the test above
+    from arkouda_njit_spark.functions.multimodal import _lzw_decode, _lzw_encode
+
+    assert _lzw_decode(_lzw_encode(idx, mcs), mcs) == idx
+
+
+@given(shape=st.tuples(st.integers(1, 32), st.integers(1, 32)),
+       sub=st.sampled_from(["444", "422", "420"]),
+       seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=25, deadline=None)
+def test_jpeg_shape_and_bounded_error_random(shape, sub, seed):
+    # JPEG is lossy so exactness is out; the properties that must hold for
+    # EVERY geometry x subsampling mode: decode(encode(x)) has x's exact
+    # shape (padding cropped), and on smooth content the error is bounded
+    import numpy as np
+
+    from arkouda_njit_spark.functions import jpeg_decode, jpeg_encode
+
+    h, w = shape
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    p = rng.uniform(5, 15, size=4)
+    base = 128 + 80 * np.sin(yy / p[0] + p[2]) * np.cos(xx / p[1] + p[3])
+    px = np.clip(np.stack([base, 255 - base, np.flipud(base)], 2), 0, 255).astype(
+        np.uint8
+    )
+    back = jpeg_decode(jpeg_encode(px, quality=90, subsampling=sub))
+    assert back.shape == px.shape
+    assert np.abs(back.astype(int) - px.astype(int)).mean() < 12, (shape, sub)
