@@ -17,7 +17,7 @@ public spec only:
   with arbitrary integer-ratio sampling factors (4:4:4, 4:2:0, 4:2:2,
   4:4:0 — 4:2:0 is what virtually every camera/web JPEG ships).
   Progressive (SOF2) streams raise ``NotImplementedError`` — honestly
-  partial, like the mp4 stub, rather than silently wrong.
+  partial, like the mp4 pixel-decode stub, rather than silently wrong.
 
 Everything numeric is vectorized numpy (matrix DCT over all blocks at
 once); the only per-element Python is the Huffman bit stream, which is
