@@ -868,7 +868,63 @@ spark.stop()
 """
 
 
+MAINCONTENT_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from arkouda_njit_spark.session import get_spark
+from arkouda_njit_spark.functions import extract_main_content
+
+cpus = int(sys.argv[1])
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+n = %(n_pages)d
+# realistic page shape: nav + link sidebar (boilerplate the classifier
+# must reject) around two stopword-rich article paragraphs carrying a
+# per-page unique token (so no two pages are byte-identical)
+uniq = lambda k: F.md5(F.concat(F.col("id").cast("string"), F.lit(":" + str(k))))
+sent = ("the committee said on tuesday that it would review all of the "
+        "evidence before making any decision about the proposal because "
+        "the matter was far from settled and many of those involved were "
+        "still waiting for more information about ")
+html = F.concat(
+    F.lit('<html><body><nav><a href="/">Home</a> <a href="/t">Tags</a> '
+          '<a href="/c">Contact</a></nav><div>'),
+    F.lit('<a href="/p1">related story one</a> <a href="/p2">related story two</a>'
+          '</div><h1>Report '), uniq(0), F.lit('</h1><p>'),
+    F.lit(sent), uniq(1), F.lit(' to be released.</p><p>'),
+    F.lit(sent), uniq(2), F.lit(' in the coming weeks.</p>'),
+    F.lit('<footer><a href="/tos">Terms</a> <a href="/priv">Privacy</a>'
+          '</footer></body></html>'),
+).cast("binary")
+pages = spark.range(n).select(
+    F.concat(F.lit("http://ex.com/p"), F.col("id").cast("string")).alias("url"),
+    html.alias("html"),
+).persist()
+pages.count()
+extract_main_content(pages.limit(20000)).agg(F.sum("n_good")).collect()  # JIT warmup
+t0 = time.time()
+out = extract_main_content(pages)
+stats = out.agg(F.sum("n_good").alias("g"), F.count("*").alias("n"),
+                F.sum(F.length("text")).alias("chars")).collect()[0]
+wall = time.time() - t0
+assert stats["n"] == n and stats["g"] >= 3 * n  # h1 + 2 paras per page
+rows = out.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+print(json.dumps({"cpus": cpus, "wall_sec": wall, "units": n,
+                  "throughput": n / wall, "iters_per_hour": None,
+                  "good_blocks": stats["g"], "chars": stats["chars"],
+                  "partition_rows": {str(r["pid"]): r["count"] for r in rows}}))
+spark.stop()
+"""
+
 JOBS = {
+    "maincontent": (
+        MAINCONTENT_WORKER,
+        {"repo": REPO,
+         "n_pages": int(os.environ.get("SPARK_GRAFT_SCALING_MC_PAGES", "1500000"))},
+        f"maincontent_{os.environ.get('SPARK_GRAFT_SCALING_MC_PAGES', '1500000')}pages",
+        "pages_per_sec",
+    ),
     "skipgram": (
         SKIPGRAM_WORKER,
         {
