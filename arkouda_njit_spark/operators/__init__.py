@@ -24,6 +24,7 @@ from .ktruss import k_truss, max_truss, truss_decomposition
 from .label_propagation import label_propagation
 from .louvain import louvain_communities, modularity
 from .mst import minimum_spanning_forest
+from .partition import balanced_partition
 from .quality import conductance, coverage, edge_cut
 from .salsa import salsa
 from .sampling import khop_sample, sample_neighbors
@@ -82,6 +83,7 @@ __all__ = [
     "approx_triangle_count",
     "bibliographic_coupling",
     "cocitation",
+    "balanced_partition",
     "conductance",
     "coverage",
     "edge_cut",

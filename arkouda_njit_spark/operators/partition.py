@@ -1,0 +1,245 @@
+"""Balanced edge-cut graph partitioning (restreaming LDG family).
+
+The operator that decides the engine's own 100 TB layout: assign every
+vertex to one of ``num_blocks`` capacity-bounded blocks so that as many
+edges as possible stay inside a block. Hash partitioning (what
+``Graph.from_edges`` does by default) is balance-perfect but
+cut-oblivious; for iterative kernels the shuffle volume per round is
+proportional to the CUT, so a locality-aware assignment directly buys
+per-iteration network at cluster scale.
+
+Algorithm: the synchronous *restreaming* variant of Linear Deterministic
+Greedy (Stanton & Kleinberg KDD'12; restreaming per Nishimura & Ugander
+KDD'13; the capacity idea as in Fennel, Tsourakakis et al. WSDM'14).
+Each pass, every vertex scores each candidate block
+
+    score(v, b) = |N(v) ∩ b| · (1 − load(b)/C),      C = ceil(slack·V/P)
+
+and proposes the argmax (ties → smallest block id); a vertex moves only
+if the proposal STRICTLY beats its current block's score. Synchronous
+greedy moves alone deadlock on symmetric structure (two cliques split
+half-and-half across two blocks propose a perfect SWAP every pass — the
+cut never changes); the published cure is probabilistic move acceptance
+(Spinner, Martella et al., ICDE'17: accept with probability
+``remaining_capacity/demand``). We keep the engine's determinism
+contract by drawing the coin from ``xxhash64(vid, pass)``:
+
+    accept(v) ⇔ u01(vid, pass) < move_fraction · min(1, capleft(b)/demand(b))
+
+which thins each target block's inflow to its remaining capacity in
+expectation AND breaks swap symmetry (the accepted subset differs on the
+two sides almost surely). A ``row_number`` window then enforces the cap
+exactly: since the initial hash assignment satisfies ``load(b) ≤ C`` and
+a pass admits at most ``C − load(b)`` vertices into b, the balance
+invariant ``load(b) ≤ C`` holds after every pass by induction —
+enforced, not just penalised.
+
+Spark shape — everything is the LPA join/agg pattern:
+  * neighbor-block counts: edges ⋈ state, then ``groupBy(vid, block)``
+    — map-side combined, so a power-law hub never funnels raw neighbor
+    rows to one reducer;
+  * ``load(b)`` is a P-row aggregate broadcast back — no collect in the
+    loop;
+  * the argmax is a struct-max inside one hash aggregation (no window
+    over a skewed key);
+  * admission is the one window (``row_number`` over target block,
+    gain-desc) — ``num_blocks``-way parallel, and its input is only the
+    MOVERS of the pass, a shrinking fraction of V;
+  * one pass per :class:`..plans.iterate.FixpointLoop` iteration —
+    lineage-cut state, per-partition metrics, resumable epochs. The loop
+    runs the full ``max_passes`` budget (tol=-1): a zero-admission pass
+    is not convergence, because rejected movers flip a fresh coin next
+    pass; per-pass movement counts live in the loop metrics.
+
+Deterministic by construction (count-then-id tie-breaks everywhere), so
+the assignment is reproducible across partition counts — the same
+contract as LPA/PageRank (north rule exact-match family).
+
+Quality is measured, not asserted: ``operators.quality.edge_cut`` /
+``coverage`` accept the returned (vid, block) table directly (pass
+``col="block"``).
+
+Reference parity: the reference has no partitioner (its layout is the
+block-distribution of Chapel arrays); this is §2.7 beyond-reference
+infrastructure the Spark engine needs at scale.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..graph import Graph
+from ..plans.checkpoints import flat_checkpoint
+from ..plans.iterate import FixpointLoop, count_changed
+from ..plans.joins import state_join_side
+
+__all__ = ["balanced_partition"]
+
+
+def balanced_partition(
+    graph: Graph,
+    num_blocks: int,
+    max_passes: int = 16,
+    slack: float = 1.05,
+    move_fraction: float = 0.5,
+    checkpoint_dir: str | None = None,
+    collect_partition_metrics: bool = False,
+) -> DataFrame:
+    """(vid, block) with every ``load(block) ≤ ceil(slack·V/num_blocks)``.
+
+    Starts from the hash assignment (``vid % num_blocks`` — dense
+    remapped ids, so exactly balanced) and restreams up to
+    ``max_passes`` times; stops early when no vertex moves. ``slack``
+    must be ≥ 1.0; values slightly above 1 leave the headroom moves
+    need (at exactly 1.0 every block starts full and the initial
+    assignment is frozen).
+    """
+    if num_blocks < 1:
+        raise ValueError("num_blocks must be >= 1")
+    if slack < 1.0:
+        raise ValueError(f"slack must be >= 1.0, got {slack}")
+    if not 0.0 < move_fraction <= 1.0:
+        raise ValueError(f"move_fraction must be in (0, 1], got {move_fraction}")
+    n = graph.n_vertices
+    cap = int(math.ceil(slack * n / num_blocks))
+
+    if graph.directed:
+        edges = (
+            graph.edges.select("src", "dst")
+            .unionAll(
+                graph.edges.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+            .repartition(graph.num_partitions, "src")
+        )
+    else:
+        edges = graph.edges.select("src", "dst")
+    # cut the parent graph's lineage before iterating: every per-pass job
+    # otherwise re-canonicalizes (and with AQE re-plans) the full upstream
+    # build plan — pure driver planning cost that multiplies by pass count
+    # on deep-lineage parents (e.g. a graph built from another graph's
+    # edge table)
+    edges = flat_checkpoint(edges)
+
+    init = graph.vertices.select(
+        "vid", F.pmod(F.col("vid"), F.lit(num_blocks)).cast("int").alias("block")
+    )
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        loads = state.groupBy("block").agg(F.count("*").alias("load"))
+        # |N(v) ∩ b| for every block holding at least one neighbor of v
+        scored = (
+            edges.join(
+                state_join_side(state.withColumnRenamed("vid", "src"), n), "src"
+            )
+            .groupBy(F.col("dst").alias("vid"), "block")
+            .agg(F.count("*").alias("cnt"))
+            .join(F.broadcast(loads), "block")
+            .select(
+                "vid",
+                "block",
+                (
+                    F.col("cnt") * (1.0 - F.col("load") / F.lit(float(cap)))
+                ).alias("score"),
+            )
+        )
+        best = (
+            scored.groupBy("vid")
+            .agg(
+                F.max(
+                    F.struct(F.col("score"), (-F.col("block")).alias("neg"))
+                ).alias("s")
+            )
+            .select(
+                "vid",
+                (-F.col("s.neg")).cast("int").alias("new_block"),
+                F.col("s.score").alias("new_score"),
+            )
+        )
+        # the current block's own score; no-neighbors-at-home rows are
+        # absent from `scored` and coalesce to the form's zero point
+        prop = (
+            state.join(best, "vid", "left")
+            .join(
+                scored.withColumnRenamed("score", "cur_score"),
+                ["vid", "block"],
+                "left",
+            )
+            .select(
+                "vid",
+                "block",
+                "new_block",
+                "new_score",
+                F.coalesce(F.col("cur_score"), F.lit(0.0)).alias("cur_score"),
+            )
+        )
+        movers = prop.filter(
+            F.col("new_block").isNotNull()
+            & (F.col("new_block") != F.col("block"))
+            & (F.col("new_score") > F.col("cur_score"))
+        ).select(
+            "vid",
+            "block",
+            "new_block",
+            (F.col("new_score") - F.col("cur_score")).alias("gain"),
+        )
+        # Spinner-style acceptance coin (deterministic: xxhash64(vid, pass)),
+        # thinning inflow to remaining capacity in expectation and breaking
+        # the synchronous-swap symmetry
+        demand = movers.groupBy("new_block").agg(F.count("*").alias("demand"))
+        caps = (
+            loads.select(
+                F.col("block").alias("new_block"),
+                F.greatest(F.lit(cap) - F.col("load"), F.lit(0)).alias(
+                    "cap_left"
+                ),
+            )
+            .join(demand, "new_block")
+            .select(
+                "new_block",
+                "cap_left",
+                (
+                    F.lit(move_fraction)
+                    * F.least(
+                        F.lit(1.0), F.col("cap_left") / F.col("demand")
+                    )
+                ).alias("accept_frac"),
+            )
+        )
+        u01 = (
+            F.pmod(F.xxhash64(F.col("vid"), F.lit(i)), F.lit(1 << 20))
+            / F.lit(float(1 << 20))
+        )
+        # hard cap after the coin: best gain first, deterministic vid
+        # tie-break; the window input is the thinned mover set
+        w = Window.partitionBy("new_block").orderBy(F.desc("gain"), "vid")
+        admitted = (
+            movers.join(F.broadcast(caps), "new_block")
+            .filter(u01 < F.col("accept_frac"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= F.col("cap_left"))
+            .select("vid", F.col("new_block").alias("block"))
+        )
+        keep = state.join(admitted.select("vid"), "vid", "left_anti")
+        return keep.select("vid", "block").unionAll(admitted.select("vid", "block"))
+
+    # tol=-1: run the full pass budget. A pass where the acceptance coin
+    # admitted nobody is NOT convergence — the rejected movers flip a fresh
+    # coin (new pass index) next round — so stopping at the first
+    # zero-change pass strands stragglers. The change count is still
+    # recorded per pass in loop metrics for observability; a truly
+    # converged pass costs one LPA-shaped no-op job.
+    loop = FixpointLoop(
+        "balanced_partition",
+        step,
+        convergence=count_changed("vid", "block"),
+        max_iterations=max_passes,
+        tol=-1.0,
+        checkpoint_dir=checkpoint_dir,
+        collect_partition_metrics=collect_partition_metrics,
+    )
+    return loop.run(init)

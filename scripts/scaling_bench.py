@@ -917,7 +917,54 @@ print(json.dumps({"cpus": cpus, "wall_sec": wall, "units": n,
 spark.stop()
 """
 
+BPE_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from arkouda_njit_spark.session import get_spark
+from arkouda_njit_spark.functions import train_bpe, word_frequencies
+
+cpus = int(sys.argv[1])
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+n = %(n_docs)d
+# zipf-ish shared vocabulary so merges have real signal: word index is a
+# product of two small hashes (skewed low), word text an md5-derived 8-char
+# string — deterministic, no RNG
+def word(k):
+    h1 = F.pmod(F.hash(F.col("id"), F.lit(k), F.lit("a")), F.lit(64))
+    h2 = F.pmod(F.hash(F.col("id"), F.lit(k), F.lit("b")), F.lit(64))
+    return F.substring(F.md5((h1 * h2).cast("string")), 1, 8)
+docs = spark.range(n).select(
+    F.col("id").alias("doc_id"),
+    F.array_join(F.array(*[word(k) for k in range(60)]), " ").alias("text"),
+).persist()
+docs.count()
+train_bpe(docs.limit(20000), 3)  # JIT warmup
+t0 = time.time()
+merges = train_bpe(docs, %(n_merges)d)
+wall = time.time() - t0
+assert len(merges) == %(n_merges)d
+rows = (word_frequencies(docs).groupBy(F.spark_partition_id().alias("pid"))
+        .count().collect())
+print(json.dumps({"cpus": cpus, "wall_sec": wall, "units": n,
+                  "throughput": n / wall, "iters_per_hour": None,
+                  "n_merges": len(merges),
+                  "partition_rows": {str(r["pid"]): r["count"] for r in rows}}))
+spark.stop()
+"""
+
+
 JOBS = {
+    "bpe": (
+        BPE_WORKER,
+        {"repo": REPO,
+         "n_docs": int(os.environ.get("SPARK_GRAFT_SCALING_BPE_DOCS", "400000")),
+         "n_merges": int(os.environ.get("SPARK_GRAFT_SCALING_BPE_MERGES", "30"))},
+        f"bpe{os.environ.get('SPARK_GRAFT_SCALING_BPE_MERGES', '30')}merges_"
+        f"{os.environ.get('SPARK_GRAFT_SCALING_BPE_DOCS', '400000')}docs",
+        "docs_per_sec",
+    ),
     "maincontent": (
         MAINCONTENT_WORKER,
         {"repo": REPO,

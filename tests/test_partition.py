@@ -1,0 +1,93 @@
+"""Balanced LDG-restreaming partitioner: cut improvement, the capacity
+invariant, and partitioning-determinism."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from arkouda_njit_spark import Graph
+from arkouda_njit_spark.operators import balanced_partition, edge_cut
+
+
+def _two_cliques(spark, k=6, bridges=1):
+    """Two K_k cliques joined by ``bridges`` edges."""
+    edges = []
+    for base in (0, 100):
+        for i in range(k):
+            for j in range(i + 1, k):
+                edges.append((base + i, base + j))
+    for b in range(bridges):
+        edges.append((b, 100 + b))
+    return Graph.from_edges(
+        spark, [u for u, _ in edges], [v for _, v in edges]
+    )
+
+
+def _loads(assign):
+    return {
+        r["block"]: r["n"]
+        for r in assign.groupBy("block").agg(F.count("*").alias("n")).collect()
+    }
+
+
+def test_two_cliques_separate(spark):
+    g = _two_cliques(spark)
+    assign = balanced_partition(g, num_blocks=2, slack=1.2)
+    init = g.vertices.select(
+        "vid", F.pmod(F.col("vid"), F.lit(2)).cast("int").alias("block")
+    )
+    cut0 = edge_cut(g, init, col="block")
+    cut1 = edge_cut(g, assign, col="block")
+    assert cut1 < cut0
+    # the optimum separates the cliques: only the bridge is cut
+    assert cut1 == 1.0
+    # each clique ended up monochromatic
+    lbl = {r["vid"]: r["label"] for r in g.vertices.collect()}
+    blocks = {r["vid"]: r["block"] for r in assign.collect()}
+    by_clique = {0: set(), 100: set()}
+    for vid, label in lbl.items():
+        by_clique[100 if label >= 100 else 0].add(blocks[vid])
+    assert len(by_clique[0]) == 1 and len(by_clique[100]) == 1
+    assert by_clique[0] != by_clique[100]
+
+
+def test_capacity_invariant_under_attraction(spark):
+    # a clique of 12 plus 4 isolated-ish pendant pairs: everyone in the
+    # clique wants the same block, but cap = ceil(1.05*20/2) = 11 < 12
+    edges = [(i, j) for i in range(12) for j in range(i + 1, 12)]
+    edges += [(100 + 2 * p, 101 + 2 * p) for p in range(4)]
+    g = Graph.from_edges(spark, [u for u, _ in edges], [v for _, v in edges])
+    assign = balanced_partition(g, num_blocks=2, slack=1.05)
+    cap = -(-int(1.05 * g.n_vertices) // 2)
+    assert assign.count() == g.n_vertices
+    assert max(_loads(assign).values()) <= cap
+
+
+def test_deterministic_across_input_partitioning(spark):
+    g1 = _two_cliques(spark, k=5, bridges=2)
+    edges = g1.edges.select("src", "dst")
+    g2 = Graph.from_edges(
+        spark,
+        edges.repartition(13).withColumn("weight", F.lit(1.0)),
+        num_partitions=13,
+    )
+    a1 = sorted(map(tuple, balanced_partition(g1, 2).collect()))
+    a2 = sorted(map(tuple, balanced_partition(g2, 2).collect()))
+    assert a1 == a2
+
+
+def test_validation(spark):
+    g = _two_cliques(spark, k=3)
+    with pytest.raises(ValueError):
+        balanced_partition(g, num_blocks=0)
+    with pytest.raises(ValueError):
+        balanced_partition(g, num_blocks=2, slack=0.9)
+
+
+def test_slack_one_freezes_initial_assignment(spark):
+    g = _two_cliques(spark, k=4)
+    assign = balanced_partition(g, num_blocks=2, slack=1.0, max_passes=2)
+    want = {
+        r["vid"]: r["vid"] % 2 for r in g.vertices.select("vid").collect()
+    }
+    got = {r["vid"]: r["block"] for r in assign.collect()}
+    assert got == want
