@@ -85,17 +85,30 @@ def balanced_partition(
     max_passes: int = 16,
     slack: float = 1.05,
     move_fraction: float = 0.5,
+    init: DataFrame | None = None,
     checkpoint_dir: str | None = None,
     collect_partition_metrics: bool = False,
 ) -> DataFrame:
-    """(vid, block) with every ``load(block) ≤ ceil(slack·V/num_blocks)``.
+    """(vid, block) partition assignment, restreamed for ``max_passes``.
 
-    Starts from the hash assignment (``vid % num_blocks`` — dense
-    remapped ids, so exactly balanced) and restreams up to
-    ``max_passes`` times; stops early when no vertex moves. ``slack``
-    must be ≥ 1.0; values slightly above 1 leave the headroom moves
-    need (at exactly 1.0 every block starts full and the initial
-    assignment is frozen).
+    Starts from ``init`` — a (vid, block) DataFrame with blocks in
+    ``[0, num_blocks)`` — or, by default, the hash assignment
+    (``vid % num_blocks``: dense remapped ids, so exactly balanced).
+    ``slack`` must be ≥ 1.0; values slightly above 1 leave the headroom
+    moves need (at exactly 1.0 every block starts full and a balanced
+    initial assignment is frozen).
+
+    Balance contract: with the default init, ``load(b) ≤ C =
+    ceil(slack·V/num_blocks)`` holds after every pass (admission never
+    fills a block past C, and the init satisfies it). A custom ``init``
+    MAY start blocks above C — the natural web-graph prior
+    ``block = hash(host) % P`` does on giant hosts — in which case
+    overfull blocks only DRAIN (they admit nobody, and their members'
+    home score goes negative once ``load > C``, pushing them toward any
+    block with neighbors and headroom), so loads converge down toward C
+    while the locality of the prior is preserved. That combination —
+    locality-aware seed, capacity-exact refinement — is the intended
+    production use on host-clustered web graphs.
     """
     if num_blocks < 1:
         raise ValueError("num_blocks must be >= 1")
@@ -125,12 +138,29 @@ def balanced_partition(
     # edge table)
     edges = flat_checkpoint(edges)
 
-    init = graph.vertices.select(
-        "vid", F.pmod(F.col("vid"), F.lit(num_blocks)).cast("int").alias("block")
+    if init is None:
+        init = graph.vertices.select(
+            "vid",
+            F.pmod(F.col("vid"), F.lit(num_blocks)).cast("int").alias("block"),
+        )
+    else:
+        init = init.select("vid", F.col("block").cast("int").alias("block"))
+
+    spark = graph.edges.sparkSession
+    block_domain = spark.range(num_blocks).select(
+        F.col("id").cast("int").alias("block")
     )
 
     def step(state: DataFrame, i: int) -> DataFrame:
-        loads = state.groupBy("block").agg(F.count("*").alias("load"))
+        # loads over the FULL block domain: a block nobody occupies yet
+        # must still be visible (as the lightest fallback target and in
+        # the admission caps) or it is unreachable forever — the
+        # all-in-one-block custom init would never drain without this
+        loads = block_domain.join(
+            state.groupBy("block").agg(F.count("*").alias("load")),
+            "block",
+            "left",
+        ).select("block", F.coalesce(F.col("load"), F.lit(0)).alias("load"))
         # |N(v) ∩ b| for every block holding at least one neighbor of v
         scored = (
             edges.join(
@@ -147,8 +177,21 @@ def balanced_partition(
                 ).alias("score"),
             )
         )
+        # fallback candidate: the globally lightest block at score 0 (the
+        # streaming-LDG rule that a block holding no neighbors scores only
+        # its capacity term). It matters exactly when the home score is
+        # NEGATIVE — an overfull block (load > C, possible under a custom
+        # locality init) whose members have no neighbors elsewhere could
+        # otherwise never drain; for everyone else 0 never beats home.
+        lightest = loads.select(
+            F.min(F.struct("load", "block")).alias("m")
+        ).select(F.col("m.block").alias("block"))
+        fallback = state.select("vid").crossJoin(F.broadcast(lightest)).select(
+            "vid", "block", F.lit(0.0).alias("score")
+        )
         best = (
-            scored.groupBy("vid")
+            scored.unionAll(fallback)
+            .groupBy("vid")
             .agg(
                 F.max(
                     F.struct(F.col("score"), (-F.col("block")).alias("neg"))

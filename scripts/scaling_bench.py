@@ -955,7 +955,58 @@ spark.stop()
 """
 
 
+LDGPART_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from arkouda_njit_spark.session import get_spark
+from arkouda_njit_spark import Graph
+from arkouda_njit_spark.operators import balanced_partition, edge_cut
+from arkouda_njit_spark.sources.generators import rmat_graph
+
+cpus = int(sys.argv[1])
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+raw = rmat_graph(spark, scale=%(lp_scale)d, edge_factor=%(lp_ef)d, seed=42)
+g = Graph.from_edges(spark, raw.withColumn("weight", F.lit(1.0)))
+edges = g.edges.count() // 2
+blocks = %(lp_blocks)d
+small = Graph.from_edges(spark, raw.limit(20000).withColumn("weight", F.lit(1.0)))
+balanced_partition(small, blocks, max_passes=1)  # JIT warmup
+t0 = time.time()
+assign = balanced_partition(g, blocks, max_passes=%(lp_passes)d, slack=1.1)
+n_assigned = assign.count()
+wall = time.time() - t0
+assert n_assigned == g.n_vertices
+hash_assign = g.vertices.select(
+    "vid", F.pmod(F.col("vid"), F.lit(blocks)).cast("int").alias("block"))
+cut0 = edge_cut(g, hash_assign, col="block")
+cut1 = edge_cut(g, assign, col="block")
+rows = assign.groupBy("block").count().collect()
+# units: edge traversals (E per pass) — each pass scores every edge once
+print(json.dumps({"cpus": cpus, "wall_sec": wall,
+                  "units": int(edges * %(lp_passes)d),
+                  "throughput": edges * %(lp_passes)d / wall,
+                  "iters_per_hour": 3600.0 / (wall / %(lp_passes)d),
+                  "cut_hash": cut0, "cut_ldg": cut1,
+                  "cut_reduction": 1.0 - cut1 / cut0 if cut0 else 0.0,
+                  "partition_rows": {str(r["block"]): r["count"] for r in rows}}))
+spark.stop()
+"""
+
+
 JOBS = {
+    "ldgpart": (
+        LDGPART_WORKER,
+        {"repo": REPO,
+         "lp_scale": int(os.environ.get("SPARK_GRAFT_SCALING_LP_SCALE", "18")),
+         "lp_ef": int(os.environ.get("SPARK_GRAFT_SCALING_LP_EF", "8")),
+         "lp_blocks": int(os.environ.get("SPARK_GRAFT_SCALING_LP_BLOCKS", "32")),
+         "lp_passes": int(os.environ.get("SPARK_GRAFT_SCALING_LP_PASSES", "4"))},
+        f"ldgpart_rmat{os.environ.get('SPARK_GRAFT_SCALING_LP_SCALE', '18')}"
+        f"_b{os.environ.get('SPARK_GRAFT_SCALING_LP_BLOCKS', '32')}",
+        "edge_visits_per_sec",
+    ),
     "bpe": (
         BPE_WORKER,
         {"repo": REPO,

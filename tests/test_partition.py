@@ -91,3 +91,38 @@ def test_slack_one_freezes_initial_assignment(spark):
     }
     got = {r["vid"]: r["block"] for r in assign.collect()}
     assert got == want
+
+
+def test_host_prior_init_drains_overfull_blocks(spark):
+    # four disjoint "host" cliques sized 12/6/6/4; a host-hash-style init
+    # overloads block 0 (18 > cap 15). Refinement must drain block 0 to
+    # within cap even though the draining vertices have NO neighbors in
+    # the other block (the fallback candidate path).
+    sizes = {0: 12, 100: 6, 200: 6, 300: 4}
+    edges = []
+    for base, k in sizes.items():
+        for i in range(k):
+            for j in range(i + 1, k):
+                edges.append((base + i, base + j))
+    g = Graph.from_edges(spark, [u for u, _ in edges], [v for _, v in edges])
+    lbl2vid = {r["label"]: r["vid"] for r in g.vertices.collect()}
+    init_rows = []
+    for base, k in sizes.items():
+        block = 0 if base in (0, 100) else 1
+        for i in range(k):
+            init_rows.append((lbl2vid[base + i], block))
+    init = spark.createDataFrame(init_rows, "vid long, block int")
+    assign = balanced_partition(
+        g, num_blocks=2, slack=1.05, max_passes=12, init=init
+    )
+    cap = -(-int(1.05 * g.n_vertices) // 2)
+    loads = _loads(assign)
+    assert sum(loads.values()) == g.n_vertices
+    assert max(loads.values()) <= cap
+    # locality of the prior mostly survives: cut far below the
+    # scatter-everything hash default's starting point
+    cut = edge_cut(g, assign, col="block")
+    init_hash = g.vertices.select(
+        "vid", F.pmod(F.col("vid"), F.lit(2)).cast("int").alias("block")
+    )
+    assert cut < edge_cut(g, init_hash, col="block") / 2
