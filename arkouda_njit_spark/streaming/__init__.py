@@ -1,3 +1,4 @@
+from .cc import StreamingConnectedComponents, stream_connected_components
 from .dedup import stream_exact_dedup, stream_simhash_dedup
 from .events import sessionize, windowed_event_counts
 from .pages import StreamingPageIngestor, streaming_page_ingest
@@ -13,4 +14,6 @@ __all__ = [
     "running_user_stats",
     "StreamingPageIngestor",
     "streaming_page_ingest",
+    "StreamingConnectedComponents",
+    "stream_connected_components",
 ]
