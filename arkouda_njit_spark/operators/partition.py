@@ -144,7 +144,32 @@ def balanced_partition(
             F.pmod(F.col("vid"), F.lit(num_blocks)).cast("int").alias("block"),
         )
     else:
-        init = init.select("vid", F.col("block").cast("int").alias("block"))
+        # validate rather than corrupt: an out-of-range block would be
+        # invisible to the load table (wrong capacity math, undrainable),
+        # a missing vid would silently vanish from the assignment, and a
+        # non-graph vid would haunt the loads forever. The join also
+        # restricts init to the graph's vertex set.
+        joined = graph.vertices.select("vid").join(
+            init.select("vid", F.col("block").cast("int").alias("block")),
+            "vid",
+            "left",
+        )
+        chk = joined.agg(
+            F.sum(F.when(F.col("block").isNull(), 1).otherwise(0)).alias(
+                "missing"
+            ),
+            F.sum(
+                F.when(
+                    (F.col("block") < 0) | (F.col("block") >= num_blocks), 1
+                ).otherwise(0)
+            ).alias("oob"),
+        ).collect()[0]
+        if chk["missing"] or chk["oob"]:
+            raise ValueError(
+                f"init assignment invalid: {chk['missing']} graph vertices "
+                f"missing, {chk['oob']} blocks outside [0, {num_blocks})"
+            )
+        init = joined
 
     spark = graph.edges.sparkSession
     block_domain = spark.range(num_blocks).select(
@@ -186,9 +211,18 @@ def balanced_partition(
         lightest = loads.select(
             F.min(F.struct("load", "block")).alias("m")
         ).select(F.col("m.block").alias("block"))
-        fallback = state.select("vid").crossJoin(F.broadcast(lightest)).select(
-            "vid", "block", F.lit(0.0).alias("score")
+        # only members of OVERFULL blocks can ever profit from the
+        # fallback (0.0 never strictly beats a home score ≥ 0, and the
+        # overfull-escape gate below only opens past cap), so restrict
+        # its source — empty under any within-cap assignment, V-sized
+        # dead weight otherwise
+        overfull_members = state.join(
+            F.broadcast(loads.filter(F.col("load") > cap).select("block")),
+            "block",
         )
+        fallback = overfull_members.select("vid").crossJoin(
+            F.broadcast(lightest)
+        ).select("vid", "block", F.lit(0.0).alias("score"))
         best = (
             scored.unionAll(fallback)
             .groupBy("vid")
@@ -220,15 +254,33 @@ def balanced_partition(
                 F.coalesce(F.col("cur_score"), F.lit(0.0)).alias("cur_score"),
             )
         )
-        movers = prop.filter(
-            F.col("new_block").isNotNull()
-            & (F.col("new_block") != F.col("block"))
-            & (F.col("new_score") > F.col("cur_score"))
-        ).select(
-            "vid",
-            "block",
-            "new_block",
-            (F.col("new_score") - F.col("cur_score")).alias("gain"),
+        # strict improvement is the hysteresis against synchronous swaps;
+        # the one exception is the overfull ESCAPE: a member of a block
+        # past cap with no neighbors at home scores 0.0 at home and 0.0
+        # on the fallback, and must still be allowed out or the drain
+        # contract fails for exactly the vertices cheapest to move
+        home_load = F.broadcast(
+            loads.select("block", F.col("load").alias("home_load"))
+        )
+        movers = (
+            prop.join(home_load, "block")
+            .filter(
+                F.col("new_block").isNotNull()
+                & (F.col("new_block") != F.col("block"))
+                & (
+                    (F.col("new_score") > F.col("cur_score"))
+                    | (
+                        (F.col("home_load") > cap)
+                        & (F.col("new_score") >= F.col("cur_score"))
+                    )
+                )
+            )
+            .select(
+                "vid",
+                "block",
+                "new_block",
+                (F.col("new_score") - F.col("cur_score")).alias("gain"),
+            )
         )
         # Spinner-style acceptance coin (deterministic: xxhash64(vid, pass)),
         # thinning inflow to remaining capacity in expectation and breaking

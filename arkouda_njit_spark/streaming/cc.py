@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -156,10 +157,16 @@ class StreamingConnectedComponents:
         merge; 0 when every batch edge lands inside an existing
         component)."""
         m = self._manifest()
+        # the epoch watermark is only comparable under the SAME checkpoint
+        # identity on both sides: a sink with an identity reading state
+        # seeded without one (direct process_batch calls) must NOT treat
+        # the stored epoch as its own — foreachBatch epochs restart at 0
+        # under a fresh checkpoint and the first batches would be dropped
+        # as replays
         same_ckpt = (
             self.checkpoint_id is None
-            or m.get("checkpoint_id") is None
-            or m.get("checkpoint_id") == self.checkpoint_id
+            if m.get("checkpoint_id") is None
+            else m.get("checkpoint_id") == self.checkpoint_id
         )
         if (
             same_ckpt
@@ -173,6 +180,7 @@ class StreamingConnectedComponents:
 
         batch = _canon_edges(batch_df).localCheckpoint(eager=True)
         state = self.labels().localCheckpoint(eager=True)
+        prev_dir = m.get("labels_dir")
 
         # vertices the state has never seen start as their own component
         batch_vids = (
@@ -200,6 +208,16 @@ class StreamingConnectedComponents:
             .localCheckpoint(eager=True)
         )
         n_merge_pairs = merges.count()
+        n_fresh = fresh.count()
+        if n_merge_pairs == 0 and n_fresh == 0:
+            # no-op batch (all edges already inside known components):
+            # bump the epoch watermark only — no V-sized state rewrite
+            if epoch_id is not None:
+                promoted = {**m, "epoch": epoch_id}
+                if self.checkpoint_id is not None:
+                    promoted["checkpoint_id"] = self.checkpoint_id
+                self._promote(promoted)
+            return 0
         if n_merge_pairs > 0:
             root_map = _min_root_fixpoint(merges).withColumnRenamed(
                 "node", "label"
@@ -224,7 +242,15 @@ class StreamingConnectedComponents:
         }
         if self.checkpoint_id is not None:
             promoted["checkpoint_id"] = self.checkpoint_id
+        elif m.get("checkpoint_id") is not None:
+            # never silently drop the recorded checkpoint identity
+            promoted["checkpoint_id"] = m["checkpoint_id"]
         self._promote(promoted)
+        # superseded snapshot is dead after the atomic promote — reclaim it
+        if prev_dir and prev_dir != new_dir:
+            shutil.rmtree(
+                os.path.join(self.state_dir, prev_dir), ignore_errors=True
+            )
         return n_merge_pairs
 
 
@@ -232,13 +258,17 @@ def stream_connected_components(
     edge_stream: DataFrame, state_dir: str, checkpoint_dir: str
 ):
     """Wire a streaming (src, dst) edge DataFrame into the incremental CC
-    state via foreachBatch; returns the StreamingQuery."""
+    state via foreachBatch; drains available input (availableNow) and
+    returns the StreamingQuery."""
     sink = StreamingConnectedComponents(
-        edge_stream.sparkSession, state_dir, checkpoint_id=checkpoint_dir
+        edge_stream.sparkSession,
+        state_dir,
+        checkpoint_id=os.path.abspath(checkpoint_dir),
     )
     return (
         edge_stream.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
         .foreachBatch(lambda df, eid: sink.process_batch(df, eid))
         .start()
     )

@@ -126,3 +126,33 @@ def test_host_prior_init_drains_overfull_blocks(spark):
         "vid", F.pmod(F.col("vid"), F.lit(2)).cast("int").alias("block")
     )
     assert cut < edge_cut(g, init_hash, col="block") / 2
+
+
+def test_init_validation_raises(spark):
+    g = _two_cliques(spark, k=3)
+    # out-of-range block
+    bad = g.vertices.select("vid", F.lit(7).alias("block"))
+    with pytest.raises(ValueError, match="outside"):
+        balanced_partition(g, num_blocks=2, init=bad)
+    # missing vertices
+    partial = g.vertices.limit(2).select(
+        "vid", F.lit(0).alias("block")
+    )
+    with pytest.raises(ValueError, match="missing"):
+        balanced_partition(g, num_blocks=2, init=partial)
+
+
+def test_overfull_block_of_isolated_vertices_drains(spark):
+    # 10 isolated pairs; init packs ALL vertices into block 0 of 2.
+    # Members have no neighbors outside their pair, so draining relies
+    # on the overfull-escape gate + lightest-block fallback.
+    edges = [(2 * i, 2 * i + 1) for i in range(10)]
+    g = Graph.from_edges(spark, [u for u, _ in edges], [v for _, v in edges])
+    init = g.vertices.select("vid", F.lit(0).alias("block"))
+    assign = balanced_partition(
+        g, num_blocks=2, slack=1.1, max_passes=12, init=init
+    )
+    cap = -(-int(1.1 * g.n_vertices) // 2)
+    loads = _loads(assign)
+    assert sum(loads.values()) == g.n_vertices
+    assert max(loads.values()) <= cap

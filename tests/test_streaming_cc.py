@@ -1,9 +1,6 @@
 """Incremental streaming connected components: stream == batch, merge
 accounting, epoch-replay idempotence, foreachBatch end-to-end."""
 
-import shutil
-
-import pytest
 from pyspark.sql import functions as F
 
 from arkouda_njit_spark import Graph
