@@ -995,7 +995,49 @@ spark.stop()
 """
 
 
+STREAMCC_WORKER = r"""
+import json, sys, tempfile, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from arkouda_njit_spark.session import get_spark
+from arkouda_njit_spark.streaming import StreamingConnectedComponents
+from arkouda_njit_spark.sources.generators import rmat_graph
+
+cpus = int(sys.argv[1])
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+raw = rmat_graph(spark, scale=%(scc_scale)d, edge_factor=%(scc_ef)d, seed=42).persist()
+n_edges = raw.count()
+# UNTIMED: seed the state with the first half of the stream
+half = F.pmod(F.xxhash64("src", "dst"), F.lit(2))
+sink = StreamingConnectedComponents(spark, tempfile.mkdtemp())
+sink.process_batch(raw.filter(half == 0), epoch_id=0)
+sink.process_batch(raw.filter(half == 0).limit(50000), epoch_id=1)  # JIT warmup (no-op-ish)
+# TIMED: fold the second half — fresh vertices + cross-component merges
+batch = raw.filter(half == 1).localCheckpoint(eager=True)
+b_edges = batch.count()
+t0 = time.time()
+merges = sink.process_batch(batch, epoch_id=2)
+wall = time.time() - t0
+rows = (sink.labels().groupBy(F.spark_partition_id().alias("pid"))
+        .count().collect())
+print(json.dumps({"cpus": cpus, "wall_sec": wall, "units": int(b_edges),
+                  "throughput": b_edges / wall, "iters_per_hour": None,
+                  "merges": merges, "state_vertices": sink.labels().count(),
+                  "partition_rows": {str(r["pid"]): r["count"] for r in rows}}))
+spark.stop()
+"""
+
+
 JOBS = {
+    "streamcc": (
+        STREAMCC_WORKER,
+        {"repo": REPO,
+         "scc_scale": int(os.environ.get("SPARK_GRAFT_SCALING_STREAMCC_SCALE", "20")),
+         "scc_ef": int(os.environ.get("SPARK_GRAFT_SCALING_STREAMCC_EF", "8"))},
+        f"streamcc_rmat{os.environ.get('SPARK_GRAFT_SCALING_STREAMCC_SCALE', '20')}",
+        "edges_per_sec",
+    ),
     "ldgpart": (
         LDGPART_WORKER,
         {"repo": REPO,
