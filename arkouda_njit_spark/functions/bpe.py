@@ -315,12 +315,14 @@ def bpe_encode(
 
     Encodes distinct words once (vocab-sized Arrow pass), joins the map
     back to the exploded corpus, and reassembles per document with a
-    sort_array-of-structs flatten (JVM-side, no window)."""
+    sort_array-of-structs flatten (JVM-side, no window). Token-less
+    documents (empty/whitespace text) are preserved with an empty
+    array."""
     exploded = df.select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "word")
     )
     pieces = _word_pieces_map(exploded, merges)
-    return (
+    encoded = (
         exploded.join(pieces, "word")
         .groupBy(id_col)
         .agg(
@@ -334,6 +336,10 @@ def bpe_encode(
             ).alias(out)
         )
     )
+    return df.select(id_col).join(encoded, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col(out), F.array().cast("array<string>")).alias(out),
+    )
 
 
 def bpe_token_count(
@@ -345,13 +351,17 @@ def bpe_token_count(
 ) -> DataFrame:
     """(id, n_bpe_tokens) under the learned vocabulary — same plan as
     :func:`bpe_encode` but ships only per-word piece COUNTS through the
-    join, so no token text reaches the corpus-sized shuffle."""
+    join, so no token text reaches the corpus-sized shuffle. Token-less
+    documents are preserved with count 0."""
     exploded = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("word"))
     sizes = _word_pieces_map(exploded, merges).select(
         "word", F.size("pieces").alias("n_pieces")
     )
-    return (
+    counted = (
         exploded.join(sizes, "word")
         .groupBy(id_col)
         .agg(F.sum("n_pieces").cast(LongType()).alias(out))
+    )
+    return df.select(id_col).join(counted, id_col, "left").select(
+        id_col, F.coalesce(F.col(out), F.lit(0).cast(LongType())).alias(out)
     )

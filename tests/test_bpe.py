@@ -163,3 +163,17 @@ def test_trained_vocab_compresses_held_in_domain_text(spark, corpus_df):
     )
     n_chars = sum(len(w) + 1 for t in CORPUS for w in t.split())
     assert n_bpe < 0.6 * n_chars
+
+
+def test_tokenless_documents_preserved(spark):
+    merges = train_bpe_py(CORPUS, 10)
+    df = spark.createDataFrame(
+        [(0, "the lower"), (1, ""), (2, "   ")], ["doc_id", "text"]
+    )
+    enc = {r["doc_id"]: r["pieces"] for r in bpe_encode(df, merges).collect()}
+    cnt = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_count(df, merges).collect()
+    }
+    assert set(enc) == {0, 1, 2} and enc[1] == [] and enc[2] == []
+    assert cnt[1] == 0 and cnt[2] == 0 and cnt[0] == len(enc[0])
