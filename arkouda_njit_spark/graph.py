@@ -280,22 +280,53 @@ class Graph:
         self.edges.write.mode(mode).parquet(f"{path}/edges")
         self.vertices.write.mode(mode).parquet(f"{path}/vertices")
 
-    def write_bucketed(self, name: str, mode: str = "overwrite") -> None:
+    def write_bucketed(
+        self,
+        name: str,
+        mode: str = "overwrite",
+        assignment: "DataFrame | None" = None,
+        assignment_col: str = "block",
+    ) -> None:
         """Persist as bucketed+sorted catalog tables (`<name>_edges`,
         `<name>_vertices`): the durable form of the Double-Index layout.
         Joins/aggregations on ``src`` against the reloaded table need NO
         exchange (bucket pruning + sorted buckets = the reference's
         pre-sorted edge list, kept across jobs). Iceberg would serve the
-        same role with snapshot isolation; its jars aren't in this image."""
+        same role with snapshot isolation; its jars aren't in this image.
+
+        ``assignment`` — an optional (vid, block) DataFrame, e.g. from
+        ``operators.balanced_partition`` — additionally DIRECTORY-partitions
+        both tables by the source vertex's block, making the cut-minimized
+        layout physical: an executor (or partition-pruned scan) reading
+        block b touches exactly the edges whose exchange the partitioner
+        kept local. Bucketing by src within each block is preserved, so
+        the no-exchange src-keyed path is unchanged."""
+        ew = self.edges
+        vw = self.vertices
+        if assignment is not None:
+            blocks = assignment.select(
+                F.col("vid").alias("src"),
+                F.col(assignment_col).alias("_block"),
+            )
+            ew = ew.join(blocks, "src")
+            vw = vw.join(
+                assignment.select(
+                    "vid", F.col(assignment_col).alias("_block")
+                ),
+                "vid",
+            )
+        ew_writer = ew.write.mode(mode)
+        vw_writer = vw.write.mode(mode)
+        if assignment is not None:
+            ew_writer = ew_writer.partitionBy("_block")
+            vw_writer = vw_writer.partitionBy("_block")
         (
-            self.edges.write.mode(mode)
-            .bucketBy(self.num_partitions, "src")
+            ew_writer.bucketBy(self.num_partitions, "src")
             .sortBy("src", "dst")
             .saveAsTable(f"{name}_edges")
         )
         (
-            self.vertices.write.mode(mode)
-            .bucketBy(self.num_partitions, "vid")
+            vw_writer.bucketBy(self.num_partitions, "vid")
             .saveAsTable(f"{name}_vertices")
         )
 
@@ -331,8 +362,10 @@ class Graph:
     def from_table(cls, spark: SparkSession, name: str) -> "Graph":
         """Reload a bucketed graph; the bucket spec rides along in the
         catalog, so downstream src-keyed joins skip their shuffle."""
-        edges = spark.table(f"{name}_edges")
-        vertices = spark.table(f"{name}_vertices")
+        # _block is the optional layout-partition column (write_bucketed
+        # with an assignment); the in-memory graph contract doesn't carry it
+        edges = spark.table(f"{name}_edges").drop("_block")
+        vertices = spark.table(f"{name}_vertices").drop("_block")
         # bucket count recorded in the catalog
         desc = spark.sql(f"DESCRIBE TABLE EXTENDED {name}_edges").collect()
         buckets = None

@@ -156,3 +156,43 @@ def test_overfull_block_of_isolated_vertices_drains(spark):
     loads = _loads(assign)
     assert sum(loads.values()) == g.n_vertices
     assert max(loads.values()) <= cap
+
+
+def test_write_bucketed_with_assignment_layout(spark, tmp_path):
+    """balanced_partition output consumed as a physical layout:
+    directory-partitioned by block, bucket-by-src reuse preserved."""
+    import contextlib
+    import io
+
+    g = _two_cliques(spark, k=5)
+    assign = balanced_partition(g, num_blocks=2, max_passes=8, slack=1.2)
+    g.write_bucketed("ldg_layout", assignment=assign)
+    try:
+        t = spark.table("ldg_layout_edges")
+        # per-block edge rows match the assignment's src-block mapping
+        blocks = {r["vid"]: r["block"] for r in assign.collect()}
+        want = {}
+        for r in g.edges.select("src").collect():
+            b = blocks[r["src"]]
+            want[b] = want.get(b, 0) + 1
+        got = {
+            r["_block"]: r["count"]
+            for r in t.groupBy("_block").count().collect()
+        }
+        assert got == want
+        # partition pruning: a block filter reads one directory partition
+        pruned = t.filter(F.col("_block") == 0)
+        assert pruned.count() == want.get(0, 0)
+        # the reloaded graph drops the layout column and still answers a
+        # src-keyed aggregation without exchange
+        from arkouda_njit_spark import Graph as G
+
+        g2 = G.from_table(spark, "ldg_layout")
+        assert "_block" not in g2.edges.columns
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            g2.edges.groupBy("src").count().explain()
+        assert "Exchange" not in buf.getvalue()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ldg_layout_edges")
+        spark.sql("DROP TABLE IF EXISTS ldg_layout_vertices")
