@@ -1029,7 +1029,49 @@ spark.stop()
 """
 
 
+LOGREG_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from arkouda_njit_spark.session import get_spark
+from arkouda_njit_spark.functions import train_logistic
+
+cpus = int(sys.argv[1])
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+n = %(lr_rows)d
+def u(k):
+    return (F.pmod(F.xxhash64(F.col("id"), F.lit(k)), F.lit(1 << 20))
+            / float(1 << 20))
+df = (spark.range(n)
+      .select(*[(u(k) * 2 - 1).alias(f"f{k}") for k in range(8)],
+              ((u(99) < 1.0 / (1.0 + F.exp(-(F.lit(1.5) * (u(0) * 2 - 1)
+               - F.lit(2.0) * (u(1) * 2 - 1))))).cast("double")).alias("label"))
+      .persist())
+df.count()
+feats = [f"f{k}" for k in range(8)]
+train_logistic(df.limit(50000), feats, iterations=2)  # JIT warmup
+t0 = time.time()
+model = train_logistic(df, feats, iterations=6, tol=0.0)
+wall = time.time() - t0
+rows = df.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+units = n * model["iterations"]
+print(json.dumps({"cpus": cpus, "wall_sec": wall, "units": int(units),
+                  "throughput": units / wall,
+                  "iters_per_hour": 3600.0 / (wall / model["iterations"]),
+                  "partition_rows": {str(r["pid"]): r["count"] for r in rows}}))
+spark.stop()
+"""
+
+
 JOBS = {
+    "logreg": (
+        LOGREG_WORKER,
+        {"repo": REPO,
+         "lr_rows": int(os.environ.get("SPARK_GRAFT_SCALING_LR_ROWS", "8000000"))},
+        f"logreg8f_{os.environ.get('SPARK_GRAFT_SCALING_LR_ROWS', '8000000')}rows",
+        "row_visits_per_sec",
+    ),
     "streamcc": (
         STREAMCC_WORKER,
         {"repo": REPO,
