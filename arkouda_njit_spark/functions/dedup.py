@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..plans.checkpoints import flat_checkpoint
+from ..plans.partitioning import ensure_parallelism
 from .text import shingles, tokens
 
 
@@ -55,7 +56,11 @@ def minhash_signatures(
     # and each document's shingles are partition-local, so the map-side
     # partial min collapses to one row per (doc, hash) before any shuffle —
     # the whole signature computation is effectively shuffle-free.
-    exploded = df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+    # ensure_parallelism: the K-md5s-per-shingle projection is the CPU wall
+    # of this function; a single-split input would run it on one core.
+    exploded = ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(sh).alias("shingle")
+    )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
         for i in range(num_hashes)
@@ -130,8 +135,12 @@ def ngram_jaccard_pairs(
     sh = shingles(text_col, shingle_n)
     if fallback_whole_text:
         sh = F.when(F.size(sh) > 0, sh).otherwise(F.array(F.trim(F.col(text_col))))
+    # ensure_parallelism: shingle generation + the distinct's map-side
+    # partial aggregation are the scan-stage CPU cost; a single-split
+    # documents table would serialize them on one core (guide §2.5).
     ex = (
-        df.select(F.col(id_col), F.explode(sh).alias("sh"))
+        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(sh).alias("sh"))
         .distinct()
         .persist()
     )
@@ -236,9 +245,15 @@ def simhash(
     if bits > 60:
         raise ValueError(f"simhash: bits={bits} > 60 (hex-prefix hash is 60-bit max)")
     nhex = (bits + 3) // 4
-    ex = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok")).select(
-        F.col(id_col),
-        F.conv(F.substring(F.md5("tok"), 1, nhex), 16, 10).cast("long").alias("h"),
+    # ensure_parallelism: token md5-hashing is the scan-stage CPU cost;
+    # see minhash_signatures (guide §2.5 single-split input).
+    ex = (
+        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        .select(
+            F.col(id_col),
+            F.conv(F.substring(F.md5("tok"), 1, nhex), 16, 10).cast("long").alias("h"),
+        )
     )
     sums = ex.groupBy(id_col).agg(
         *[

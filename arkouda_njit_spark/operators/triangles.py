@@ -35,6 +35,40 @@ from ..graph import Graph
 # scaling) and impossible at 10^12 edges
 BIG_EDGE_THRESHOLD = 1_000_000
 
+# the wedge self-join flips to shuffle_hash earlier than the closing join:
+# both sides share o's hashpartitioning(lo) so the hint costs NO exchange,
+# while the broadcast build of a few-hundred-k-row relation with heavily
+# duplicated keys is single-threaded — measured 7.0-8.0 s vs 1.2-2.4 s for
+# the 66.7M-wedge enumeration on the sf0.1 mod graph (561k edges, r6)
+WEDGE_SHUFFLE_HASH_THRESHOLD = 150_000
+
+# below this vertex count the closing-edge pair (b, c) packs losslessly
+# into ONE long (b*V + c < 2^62), turning the two-key semi join's
+# UnsafeHashedRelation probe into a LongHashedRelation probe — measured
+# 4.4-7.6 s -> 1.6-1.9 s on the full sf0.1 triangle kernel (r6). Beyond
+# 2^31 vertices the product overflows and the two-key join is kept.
+PACKED_KEY_MAX_VERTICES = 1 << 31
+
+
+def _closing_semi_join(wedges: DataFrame, und: DataFrame, n_vertices: int, big: bool):
+    """Semi-join wedge rows (p, b, c) against the canonical pair set
+    (u, v): keep wedges whose (b, c) endpoint pair is an edge. Packs the
+    pair into one long key when it cannot overflow (see
+    PACKED_KEY_MAX_VERTICES); the build side is broadcast while the pair
+    set is small and shuffle_hash beyond (BIG_EDGE_THRESHOLD)."""
+    sh = (lambda df: df.hint("shuffle_hash")) if big else (lambda df: df)
+    if 0 < n_vertices < PACKED_KEY_MAX_VERTICES:
+        v = F.lit(int(n_vertices))
+        undk = und.select((F.col("u") * v + F.col("v")).alias("uv"))
+        return wedges.join(
+            sh(undk), (F.col("b") * v + F.col("c")) == F.col("uv"), "left_semi"
+        ).select(F.col("p").alias("a"), "b", "c")
+    return wedges.join(
+        sh(und),
+        (F.col("b") == F.col("u")) & (F.col("c") == F.col("v")),
+        "left_semi",
+    ).select(F.col("p").alias("a"), "b", "c")
+
 
 def _undirected_simple_edges(graph: Graph) -> DataFrame:
     """Distinct non-loop edges as (u, v) with u < v."""
@@ -102,15 +136,12 @@ def _triangle_rows_cached(
     # per-partition hash maps in parallel; small graphs stay on the
     # broadcast fast path.
     big = graph.n_edges >= BIG_EDGE_THRESHOLD
-    sh = (lambda df: df.hint("shuffle_hash")) if big else (lambda df: df)
+    wsh = graph.n_edges >= WEDGE_SHUFFLE_HASH_THRESHOLD
+    sh = (lambda df: df.hint("shuffle_hash")) if wsh else (lambda df: df)
     w1 = o.select(F.col("lo").alias("p"), F.col("hi").alias("b"))
     w2 = o.select(F.col("lo").alias("p"), F.col("hi").alias("c"))
     wedges = w1.join(sh(w2), "p").filter(F.col("b") < F.col("c"))
-    closed = wedges.join(
-        sh(und),
-        (F.col("b") == F.col("u")) & (F.col("c") == F.col("v")),
-        "left_semi",
-    ).select(F.col("p").alias("a"), "b", "c")
+    closed = _closing_semi_join(wedges, und, graph.n_vertices, big)
     return closed, [und, o]
 
 
@@ -145,15 +176,12 @@ def _triangle_rows_localized(
         .persist()
     )
     big = graph.n_edges >= BIG_EDGE_THRESHOLD
-    sh = (lambda df: df.hint("shuffle_hash")) if big else (lambda df: df)
+    wsh = graph.n_edges >= WEDGE_SHUFFLE_HASH_THRESHOLD
+    sh = (lambda df: df.hint("shuffle_hash")) if wsh else (lambda df: df)
     w1 = o.select(F.col("lo").alias("p"), F.col("hi").alias("b"))
     w2 = o.select(F.col("lo").alias("p"), F.col("hi").alias("c"))
     wedges = w1.join(sh(w2), "p").filter(F.col("b") < F.col("c"))
-    closed = wedges.join(
-        sh(und),
-        (F.col("b") == F.col("u")) & (F.col("c") == F.col("v")),
-        "left_semi",
-    ).select(F.col("p").alias("a"), "b", "c")
+    closed = _closing_semi_join(wedges, und, graph.n_vertices, big)
     return closed, [und, o]
 
 

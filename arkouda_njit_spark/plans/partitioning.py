@@ -70,6 +70,29 @@ def dense_rank_ids(df: DataFrame, col: str, num_partitions: int, out_col: str = 
     return result
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition ``df`` up to the session's default
+    parallelism when its plan currently has fewer partitions.
+
+    Guide §2.5 (input skew): a small table read from a single parquet
+    file is ONE scan split, so any CPU-heavy per-row stage downstream
+    (shingle explode + K md5s per shingle, token hashing) runs serially
+    on one core regardless of cluster size — measured 22.9 s wall /
+    30.8 s task time on one task for the sf0.1 MinHash signature pass.
+    Scale-adaptive by construction: at real corpus sizes the scan has
+    more splits than cores and this is a no-op; only the pathological
+    fewer-splits-than-cores case pays the (tiny) extra shuffle."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - connect-mode plans have no rdd
+        return df
+    if current >= target:
+        return df
+    return df.repartition(target)
+
+
 def with_salt(df: DataFrame, key: str, salt_buckets: int, salt_col: str = "_salt") -> DataFrame:
     """Deterministic salt column for skewed-key mitigation (north rule):
     spread a hot ``key`` over ``salt_buckets`` sub-keys. Pair with a
