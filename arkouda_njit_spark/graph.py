@@ -138,11 +138,16 @@ class Graph:
             # symmetrize+sum — matching the reference's False branch.
             if no_self_loops:
                 raw = raw.filter(F.col("src") != F.col("dst"))
-            # Symmetrize (concat both orientations — graphclass.py:182-183).
-            raw = raw.unionAll(
-                raw.select(
-                    F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
-                )
+            # Canonicalize to (least, greatest) and dedup ONCE, mirroring
+            # back to the symmetric table after the remap joins: identical
+            # rows/weights to the old symmetrize-then-dedup (each
+            # orientation's group summed exactly the same multiset of raw
+            # weights), but the aggregation shuffles E rows instead of 2E
+            # and the input is scanned once instead of twice (guide §2.3).
+            raw = raw.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+                "weight",
             )
         else:
             # DiGraph: drop self-loops — digraphclass.py:118-127.
@@ -151,9 +156,19 @@ class Graph:
         # Dedup; duplicate weights sum-aggregated — graphclass.py:192-196.
         # Persisted: the canonical pair set feeds three consumers (label
         # extraction, the range-partitioner sampling pass of the dense
-        # remap, and the remap joins) — without it the symmetrize+dedup
-        # shuffle re-executes for each.
-        dedup = raw.groupBy("src", "dst").agg(F.sum("weight").alias("weight")).persist()
+        # remap, and the remap joins) — without it the dedup shuffle
+        # re-executes for each.
+        dedup = raw.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+        if not cls.directed and not no_self_loops:
+            # symmetrize+sum doubled a kept loop's weight (both mirrored
+            # copies landed in the same group); reproduce that here
+            dedup = dedup.withColumn(
+                "weight",
+                F.when(
+                    F.col("src") == F.col("dst"), F.col("weight") * 2
+                ).otherwise(F.col("weight")),
+            )
+        dedup = dedup.persist()
 
         # Dense vertex remap, ascending original label — graphclass.py:213-223.
         # Scalable two-pass dense rank (no single-partition window): see
@@ -186,9 +201,17 @@ class Graph:
             )
         )
         if not cls.directed:
-            # Keep each undirected pair in both orientations, a self-loop once:
-            # dedup already achieved that (symmetrized input).
-            pass
+            # Mirror the canonical (lo, hi) rows back into the symmetric
+            # table (each non-loop pair in both orientations, a self-loop
+            # once) — a narrow union AFTER the remap joins, so the joins
+            # probed E rows, not 2E.
+            remapped = remapped.unionAll(
+                remapped.filter(F.col("src") != F.col("dst")).select(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    "weight",
+                )
+            )
         edges = (
             remapped.withColumn("src_block", F.pmod(F.xxhash64("src"), F.lit(P)).cast("int"))
             .select(*EDGE_COLS)

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..graph import Graph
 from ..plans.iterate import FixpointLoop, count_changed
-from ..plans.joins import state_join_side
+from ..plans.joins import BROADCAST_MAX_VERTICES, state_join_side
 
 
 def connected_components(
@@ -76,6 +76,18 @@ def connected_components(
         parent = exchanged.select(
             F.col("vid").alias("component"), F.col("component").alias("grand")
         )
+        if graph.n_vertices <= BROADCAST_MAX_VERTICES:
+            # Broadcast-state regime: the jump join broadcasts the V-sized
+            # parent map, so the groupBy's hash(vid) partitioning survives
+            # the join and the final repartition is unnecessary — the old
+            # shape paid THREE extra exchanges per round (jump self-join
+            # both sides + repartition) for a co-partitioning that only
+            # the shuffle_hash regime consumes (guide §2.4; r6 measured
+            # 4.1-5.5 s -> 3.6-4.4 s on sf0.1 CC).
+            return (
+                exchanged.join(parent.hint("broadcast"), "component")
+                .select("vid", F.col("grand").alias("component"))
+            )
         jumped = (
             exchanged.join(parent, "component")
             .select("vid", F.col("grand").alias("component"))

@@ -39,10 +39,14 @@ def prepare_pagerank(graph: Graph, weight: str | None = None):
     # Out-weight per source; transition probability = w / total_out(src).
     # (NB: Spark analysis is case-insensitive, so "W" would clash with "w".)
     outw = edges.groupBy("src").agg(F.sum("w").alias("out_total"))
+    # No explicit repartition: the canonical edge table is already
+    # hash-partitioned by src, so the groupBy and the join both reuse that
+    # partitioning and the join's output partitioning IS hash(src, P) —
+    # the former .repartition(P, "src") here was a full extra exchange of
+    # the transition table for a layout it already had (guide §2.4).
     trans = (
         edges.join(outw, "src")
         .select("src", "dst", (F.col("w") / F.col("out_total")).alias("p"))
-        .repartition(P, "src")
         .persist()
     )
     trans.count()  # materialize once; reused every iteration
@@ -143,7 +147,8 @@ def pagerank(
         )
 
     # tol <= 0 selects fixed-iteration mode: no per-iteration convergence
-    # job (the bench/oracle path runs an exact number of power iterations).
+    # job (the bench/oracle path runs an exact number of power iterations);
+    # unroll=2 halves the materialization barriers there (plans/iterate.py).
     loop = FixpointLoop(
         "pagerank",
         step,
@@ -152,6 +157,10 @@ def pagerank(
         tol=n * tol,
         checkpoint_dir=checkpoint_dir,
         collect_partition_metrics=collect_partition_metrics,
+        # chaining two steps in one plan would evaluate the intermediate
+        # state twice when the dangling-mass aggregate consumes it too, so
+        # unroll only the dangling-free shape (the common undirected case)
+        unroll=1 if has_dangling else 2,
     )
     result = loop.run(init)
     if owns_prepared:
@@ -245,6 +254,7 @@ def personalized_pagerank(
         max_iterations=max_iterations,
         tol=n * tol,
         checkpoint_dir=checkpoint_dir,
+        unroll=1 if has_dangling else 2,
     )
     result = loop.run(init)
     if owns_prepared:

@@ -97,11 +97,24 @@ class FixpointLoop:
         epoch_interval: int = 5,
         collect_partition_metrics: bool = False,
         count_rows: bool = False,
+        unroll: int = 1,
     ):
         """``convergence=None`` runs exactly ``max_iterations`` steps with no
         per-iteration convergence job (fixed-iteration mode — e.g. unrolled
         PageRank); ``count_rows`` adds a per-iteration state row count to the
-        metrics (one extra tiny job)."""
+        metrics (one extra tiny job).
+
+        ``unroll`` (fixed-iteration mode only, and only without a
+        ``checkpoint_dir`` so durable epoch numbering stays per-step):
+        chain this many ``step`` applications inside ONE plan between
+        eager checkpoints. Each checkpoint is an action plus a full
+        materialization barrier; at small per-iteration state sizes the
+        barrier dominates the iteration (guide §1.2 — per-task work is
+        fine, the job *shape* pays fixed cost per action). Measured on
+        sf0.1 PageRank: unroll=2 8.0-10.8 s -> 5.6-6.1 s for 10
+        iterations; deeper unrolls lose the win to plan-depth planning
+        cost (unroll=10 measured 9.7-10.8 s). Values identical: the same
+        power-iteration arithmetic, just fewer materialization points."""
         self.name = name
         self.step = step
         self.convergence = convergence
@@ -111,6 +124,7 @@ class FixpointLoop:
         self.epoch_interval = epoch_interval
         self.collect_partition_metrics = collect_partition_metrics
         self.count_rows = count_rows
+        self.unroll = max(1, unroll)
         self.metrics: list[IterationMetrics] = []
         self.iterations_run = 0
 
@@ -177,16 +191,28 @@ class FixpointLoop:
                         ]
 
         state = state.localCheckpoint(eager=True)
-        for i in range(start_iter, self.max_iterations):
+        # unroll only applies when there is no per-iteration convergence
+        # job to run and no durable per-step epoch contract to honour
+        unroll = (
+            self.unroll
+            if (self.convergence is None and not self.checkpoint_dir)
+            else 1
+        )
+        i = start_iter
+        while i < self.max_iterations:
             t0 = time.time()
+            k = min(unroll, self.max_iterations - i)
             # Eager localCheckpoint = the single action that materializes
-            # this iteration and truncates lineage.
-            nxt = self.step(state, i).localCheckpoint(eager=True)
+            # this group of k chained steps and truncates lineage.
+            nxt = state
+            for j in range(k):
+                nxt = self.step(nxt, i + j)
+            nxt = nxt.localCheckpoint(eager=True)
             changed = self.convergence(state, nxt) if self.convergence else -1.0
             wall = time.time() - t0
 
             m = IterationMetrics(
-                iteration=i,
+                iteration=i + k - 1,
                 wall_sec=wall,
                 changed=changed,
                 rows=nxt.count() if self.count_rows else -1,
@@ -198,10 +224,11 @@ class FixpointLoop:
 
             state.unpersist()
             state = nxt
-            self.iterations_run = i - start_iter + 1
+            i += k
+            self.iterations_run = i - start_iter
 
-            if self.checkpoint_dir and (i % self.epoch_interval == 0):
-                self._write_epoch(state, i)
+            if self.checkpoint_dir and ((i - 1) % self.epoch_interval == 0):
+                self._write_epoch(state, i - 1)
 
             if self.convergence and changed <= self.tol:
                 break

@@ -27,6 +27,16 @@ def dense_rank_ids(df: DataFrame, col: str, num_partitions: int, out_col: str = 
 
     ``df`` must contain distinct values of ``col``. Returns (out_col, col).
     """
+    return dense_rank_ids_counted(df, col, num_partitions, out_col)[0]
+
+
+def dense_rank_ids_counted(
+    df: DataFrame, col: str, num_partitions: int, out_col: str = "vid"
+) -> tuple[DataFrame, int]:
+    """:func:`dense_rank_ids` plus the total row count, which the two-pass
+    scheme computes anyway (sum of the per-partition counts) — callers that
+    need n for a broadcast-vs-shuffle decision get it for free instead of
+    paying a separate count action."""
     spark = df.sparkSession
     ordered = (
         df.select(col)
@@ -67,7 +77,7 @@ def dense_rank_ids(df: DataFrame, col: str, num_partitions: int, out_col: str = 
             yield out
 
     result = ordered.mapInPandas(attach, schema=out_schema)
-    return result
+    return result, acc
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..graph import DiGraph
-from ..plans.partitioning import dense_rank_ids
+from ..plans.partitioning import dense_rank_ids, dense_rank_ids_counted
 
 TWO63 = float(2**63)
 
@@ -291,16 +291,22 @@ def _string_keyed_digraph(
         .unionAll(dedup.select(F.col(dst_col).alias("u")))
         .distinct()
     )
-    vertices = dense_rank_ids(keys, "u", P, out_col="vid").withColumnRenamed("u", "url")
+    vertices, n_keys = dense_rank_ids_counted(keys, "u", P, out_col="vid")
+    vertices = vertices.withColumnRenamed("u", "url")
+    # The vertex map's size is opaque to Catalyst after the mapInPandas
+    # dense rank, so the string-keyed remap joins planned as sort-merge
+    # with full exchanges of BOTH sides; hint broadcast while the map fits
+    # (the Graph._build pattern) — the two-pass dense rank already knows n
+    # for free, so the decision costs no extra action (guide §3.1).
+    from ..plans.joins import BROADCAST_MAX_VERTICES
+
+    vsrc = vertices.select(F.col("url").alias(src_col), F.col("vid").alias("_svid"))
+    vdst = vertices.select(F.col("url").alias(dst_col), F.col("vid").alias("_dvid"))
+    if n_keys <= BROADCAST_MAX_VERTICES:
+        vsrc, vdst = F.broadcast(vsrc), F.broadcast(vdst)
     remapped = (
-        dedup.join(
-            vertices.select(F.col("url").alias(src_col), F.col("vid").alias("_svid")),
-            src_col,
-        )
-        .join(
-            vertices.select(F.col("url").alias(dst_col), F.col("vid").alias("_dvid")),
-            dst_col,
-        )
+        dedup.join(vsrc, src_col)
+        .join(vdst, dst_col)
         .select(F.col("_svid").alias("src"), F.col("_dvid").alias("dst"), "weight")
     )
 
