@@ -110,6 +110,7 @@ def ngram_jaccard_pairs(
     max_shingle_df: int | None = None,
     fanout_limit: int = 10**9,
     fallback_whole_text: bool = False,
+    exploded: DataFrame | None = None,
 ) -> DataFrame:
     """(a, b, jaccard) over distinct doc pairs sharing >=1 shingle
     (optionally restricted to an LSH candidate pair set).
@@ -131,19 +132,33 @@ def ngram_jaccard_pairs(
     words their trimmed whole text as one shingle — the same fallback
     ``minhash_signatures`` applies, so the LSH verify stage scores exactly
     the shingle sets the signatures were computed from (otherwise two
-    identical short docs become candidates but verify to zero overlap)."""
-    sh = shingles(text_col, shingle_n)
-    if fallback_whole_text:
-        sh = F.when(F.size(sh) > 0, sh).otherwise(F.array(F.trim(F.col(text_col))))
-    # ensure_parallelism: shingle generation + the distinct's map-side
-    # partial aggregation are the scan-stage CPU cost; a single-split
-    # documents table would serialize them on one core (guide §2.5).
-    ex = (
-        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
-        .select(F.col(id_col), F.explode(sh).alias("sh"))
-        .distinct()
-        .persist()
-    )
+    identical short docs become candidates but verify to zero overlap).
+
+    ``exploded`` — an already-materialized distinct (id, sh) shingle
+    table to score from (the :func:`minhash_near_duplicates` sharing
+    path); when given, ``shingle_n``/``fallback_whole_text`` are ignored
+    and the caller guarantees consistency with its signatures."""
+    if exploded is not None:
+        ex = exploded
+    else:
+        sh = shingles(text_col, shingle_n)
+        if fallback_whole_text:
+            sh = F.when(F.size(sh) > 0, sh).otherwise(
+                F.array(F.trim(F.col(text_col)))
+            )
+        # ensure_parallelism: shingle generation + the distinct's map-side
+        # partial aggregation are the scan-stage CPU cost; a single-split
+        # documents table would serialize them on one core (guide §2.5).
+        # flat_checkpoint (eager), NOT persist: the shingle table feeds
+        # three subtrees of ONE terminal action (sizes + both pair sides),
+        # and an unmaterialized persist makes the concurrent scans race
+        # and recompute the explode per consumer — measured ~3x the
+        # one-pass cost in the r6 stage attribution.
+        ex = flat_checkpoint(
+            ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+            .select(F.col(id_col), F.explode(sh).alias("sh"))
+            .distinct()
+        )
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("sz"))
     if candidates is None:
         dfreq = ex.groupBy("sh").agg(F.count("*").alias("df"))
@@ -165,7 +180,6 @@ def ngram_jaccard_pairs(
                 F.sum(F.col("df").cast("double") * F.col("df")).alias("f")
             ).collect()[0]["f"]
             if fanout is not None and fanout > fanout_limit:
-                ex.unpersist()
                 raise ValueError(
                     f"ngram_jaccard_pairs without candidates: inverted-index "
                     f"fan-out ~{fanout:.3g} rows exceeds fanout_limit="
@@ -198,7 +212,6 @@ def ngram_jaccard_pairs(
     )
     if threshold > 0:
         out = out.filter(F.col("jaccard") >= threshold)
-    ex.unpersist()
     return out
 
 
@@ -212,8 +225,27 @@ def minhash_near_duplicates(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle → sign → band → bucket-join →
-    verify true Jaccard ≥ threshold. Returns (a, b, jaccard)."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    verify true Jaccard ≥ threshold. Returns (a, b, jaccard).
+
+    The corpus is shingled ONCE: the distinct (id, shingle) table is
+    materialized and feeds both the signature aggregation (MIN is
+    duplicate-insensitive, so distinct shingles give the same signature)
+    and the verify stage — the old shape exploded and hashed the corpus
+    twice (guide §1.2: don't compute things you throw away)."""
+    sh = shingles(text_col, shingle_n)
+    # same fallback the signatures used, so verify scores exactly the
+    # shingle sets the signatures were computed from
+    sh = F.when(F.size(sh) > 0, sh).otherwise(F.array(F.trim(F.col(text_col))))
+    ex = flat_checkpoint(
+        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(sh).alias("sh"))
+        .distinct()
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = ex.groupBy(id_col).agg(*aggs)
     cands = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
     return ngram_jaccard_pairs(
         df,
@@ -222,7 +254,7 @@ def minhash_near_duplicates(
         shingle_n,
         threshold=threshold,
         candidates=cands,
-        fallback_whole_text=True,  # score the sets the signatures hashed
+        exploded=ex,
     )
 
 

@@ -178,9 +178,14 @@ class Graph:
             .unionAll(dedup.select(F.col("dst").alias("label")))
             .distinct()
         )
-        vertices = dense_rank_ids(labels, "label", P, out_col="vid")
+        # The two-pass dense rank already counts the labels, so the old
+        # explicit vertices.count() action (a full extra pass over the
+        # vertex table) is unnecessary; the persisted vertices materialize
+        # inside the edge build's first broadcast construction below.
+        from .plans.partitioning import dense_rank_ids_counted
+
+        vertices, n_vertices = dense_rank_ids_counted(labels, "label", P, out_col="vid")
         vertices = vertices.repartition(P, "vid").persist()
-        n_vertices = vertices.count()
 
         # Remap joins: the vertex map's size is opaque to Catalyst after the
         # mapInPandas dense rank, so hint broadcast explicitly while it fits
@@ -219,10 +224,24 @@ class Graph:
             .sortWithinPartitions("src", "dst")
             .persist()
         )
-        edges.count()  # materialize the canonical table once, then free dedup
+        total = edges.count()  # materialize the canonical table; free dedup
         dedup.unpersist()
+        # n_edges comes free from the materialization count whenever the
+        # loop count is known by construction (loops were filtered, or the
+        # table is directed) — the old lazy property re-ran a filter+count
+        # job over the cached table per graph.
+        n_edges = None
+        if cls.directed:
+            n_edges = total
+        elif no_self_loops:
+            n_edges = total // 2
         g = cls(
-            edges, vertices, weighted=weighted, num_partitions=P, n_vertices=n_vertices
+            edges,
+            vertices,
+            weighted=weighted,
+            num_partitions=P,
+            n_vertices=n_vertices,
+            n_edges=n_edges,
         )
         return g
 

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..graph import DiGraph
+from ..plans.checkpoints import flat_checkpoint
 from ..plans.partitioning import dense_rank_ids, dense_rank_ids_counted
 
 TWO63 = float(2**63)
@@ -285,7 +286,15 @@ def _string_keyed_digraph(
     ascending key, src_block tag, src-partitioned sorted edge buckets.
     One implementation for the url graph, the host rollup, and streaming
     snapshots — ``eager`` swaps persist() for an eager localCheckpoint so
-    the result outlives its source files (streaming state GC)."""
+    the result outlives its source files (streaming state GC).
+
+    The deduplicated link table is eagerly materialized FIRST: it feeds
+    the key-extraction pass and the remap joins, and for the web graph
+    its lineage contains the Arrow link-extraction pass over the raw
+    html — without the checkpoint each consumer re-ran that Python pass
+    (measured as the dominant cost of the downstream pagerank's prepare
+    step, which happened to trigger the first materialization)."""
+    dedup = flat_checkpoint(dedup)
     keys = (
         dedup.select(F.col(src_col).alias("u"))
         .unionAll(dedup.select(F.col(dst_col).alias("u")))
@@ -322,6 +331,12 @@ def _string_keyed_digraph(
     verts = hold(
         vertices.select("vid", F.col("vid").alias("label"), "url").repartition(P, "vid")
     )
+    if not eager:
+        # materialize the persists now: the first kernel action otherwise
+        # references the cold caches from several subtrees at once and the
+        # concurrent scans recompute the remap joins per consumer
+        edges.count()
+        verts.count()
     return DiGraph(edges, verts, weighted=True, num_partitions=P)
 
 
