@@ -44,12 +44,21 @@ def prepare_pagerank(graph: Graph, weight: str | None = None):
     # partitioning and the join's output partitioning IS hash(src, P) —
     # the former .repartition(P, "src") here was a full extra exchange of
     # the transition table for a layout it already had (guide §2.4).
-    trans = (
-        edges.join(outw, "src")
-        .select("src", "dst", (F.col("w") / F.col("out_total")).alias("p"))
-        .persist()
+    #
+    # flat_checkpoint, NOT persist: the table is scanned once per
+    # iteration and the columnar-cache decode was the dominant
+    # per-iteration cost — checkpointing the rows directly measured
+    # 8.7 -> 4.3 s for 10 sf0.1 iterations with everything else unchanged
+    # (r6). The derived per-call transition table is cheap to rebuild, so
+    # the checkpoint's weaker fault-tolerance story is acceptable here
+    # (the canonical edge table itself stays persisted).
+    from ..plans.checkpoints import flat_checkpoint
+
+    trans = flat_checkpoint(
+        edges.join(outw, "src").select(
+            "src", "dst", (F.col("w") / F.col("out_total")).alias("p")
+        )
     )
-    trans.count()  # materialize once; reused every iteration
 
     # Dangling vertices (no out-edges). Undirected graphs never have any
     # (every vertex has an incident symmetric edge), so the per-iteration
@@ -109,14 +118,21 @@ def pagerank(
     zeros = graph.vertices.select("vid", F.lit(0.0).alias("c"))
 
     def step(state: DataFrame, i: int) -> DataFrame:
-        # State join strategy: broadcast while the state is small,
-        # shuffle_hash beyond (plans/joins.py — broadcasting a 10^12-vertex
-        # state is impossible; co-partitioning means only the state side
-        # moves). Vertices with no in-edges are handled by unioning
-        # zero-contributions into the SAME aggregation — no second join.
+        # State join strategy: shuffle_hash unconditionally. The state is
+        # co-partitioned with the transition table, so only the V-sized
+        # state side moves and each partition builds a tiny local hash
+        # map; the former small-graph broadcast dispatch paid a driver
+        # collect + broadcast build PER ITERATION and measured ~25-40%
+        # slower at sf0.1 (r6) — and broadcasting a 10^12-vertex state is
+        # impossible anyway. Vertices with no in-edges are handled by
+        # unioning zero-contributions into the SAME aggregation — no
+        # second join.
         contribs = (
             trans.join(
-                state_join_side(state.withColumnRenamed("vid", "src"), n), "src"
+                state_join_side(
+                    state.withColumnRenamed("vid", "src"), n, strategy="shuffle_hash"
+                ),
+                "src",
             )
             .select(F.col("dst").alias("vid"), (F.col("p") * F.col("rank")).alias("c"))
             .unionAll(zeros)
@@ -218,7 +234,10 @@ def personalized_pagerank(
     def step(state: DataFrame, i: int) -> DataFrame:
         contribs = (
             trans.join(
-                state_join_side(state.withColumnRenamed("vid", "src"), n), "src"
+                state_join_side(
+                    state.withColumnRenamed("vid", "src"), n, strategy="shuffle_hash"
+                ),
+                "src",
             )
             .select(F.col("dst").alias("vid"), (F.col("p") * F.col("rank")).alias("c"))
             .unionAll(zeros)

@@ -53,21 +53,29 @@ def test_pagerank_iteration_plan_shape(spark):
         eager=True
     )
     step = (
-        trans.join(state_join_side(state.withColumnRenamed("vid", "src"), n), "src")
+        trans.join(
+            state_join_side(
+                state.withColumnRenamed("vid", "src"), n, strategy="shuffle_hash"
+            ),
+            "src",
+        )
         .select(F.col("dst").alias("vid"), (F.col("p") * F.col("rank")).alias("c"))
         .unionAll(g.vertices.select("vid", F.lit(0.0).alias("c")))
         .groupBy("vid")
         .agg(F.sum("c").alias("c"))
     )
     plan = _plan(step)
-    # the cached transition table is scanned in-memory and NEVER
-    # re-shuffled: the only allowed exchanges are the state broadcast
-    # (small-graph mode) and the aggregation's hashpartitioning(vid).
-    assert "InMemoryTableScan" in plan
+    # the checkpointed transition table is scanned as a flat RDD leaf
+    # (r6: flat_checkpoint replaced the columnar cache whose per-scan
+    # decode dominated the iteration) and is NEVER re-shuffled: the only
+    # allowed exchanges are the V-sized state side's co-partitioning
+    # (hash(src)) and the aggregation's hashpartitioning(vid) — the
+    # E-sized transition rows themselves must not move.
+    assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan
     import re
 
     for m in re.finditer(r"Exchange hashpartitioning\((\w+)", plan):
-        assert m.group(1) == "vid", f"unexpected shuffle on {m.group(1)}"
+        assert m.group(1) in ("vid", "src"), f"unexpected shuffle on {m.group(1)}"
     # map-side combine: a partial_sum aggregate exists below the exchange
     assert plan.count("HashAggregate") >= 2
     assert "partial_sum" in plan
