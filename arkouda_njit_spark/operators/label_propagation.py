@@ -34,12 +34,23 @@ def label_propagation(
 ) -> DataFrame:
     """Per-vertex community labels: DataFrame (vid, label)."""
     P = graph.num_partitions
+    from ..plans.checkpoints import flat_checkpoint
+
+    # Per-kernel checkpointed (src, dst) projection — same rationale and
+    # measurement as connected_components (r6: avoids the canonical
+    # table's columnar-cache decode on every round).
     if graph.directed:
-        edges = graph.edges.select("src", "dst").unionAll(
-            graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).repartition(P, "src").persist()
+        edges = flat_checkpoint(
+            graph.edges.select("src", "dst")
+            .unionAll(
+                graph.edges.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+            .repartition(P, "src")
+        )
     else:
-        edges = graph.edges.select("src", "dst")
+        edges = flat_checkpoint(graph.edges.select("src", "dst"))
 
     init = graph.vertices.select("vid", F.col("vid").alias("label"))
 
@@ -79,7 +90,4 @@ def label_propagation(
         checkpoint_dir=checkpoint_dir,
         collect_partition_metrics=collect_partition_metrics,
     )
-    result = loop.run(init)
-    if graph.directed:
-        edges.unpersist()
-    return result
+    return loop.run(init)
