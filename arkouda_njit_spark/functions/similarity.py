@@ -77,14 +77,26 @@ def cosine_topk(
 
 def _hyperplane_bucket(vec, dim: int, n_planes: int, seed: int):
     """LSH bucket id: sign bits of dot(vec, plane_i) with plane components
-    derived from xxhash64(i, j, seed) — deterministic, no stored planes."""
+    derived from xxhash64(i, j, seed) — deterministic, no stored planes.
+
+    The components are pure functions of (j, i, seed), so they are inlined
+    as LITERAL arrays via the bit-exact host-side XXH64 port instead of
+    re-hashing dim x n_planes values per row (r6; the old expression paid
+    ~dim*n_planes xxhash64 calls + divisions for every corpus row on every
+    scan). Values are identical: the port replays Spark's xxhash64 exactly
+    and the division is the same IEEE double op."""
+    from .xxh64 import spark_xxhash64
+
     bucket = F.lit(0).cast("long")
     for i in range(n_planes):
-        comp = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda j: (
-                F.xxhash64(j, F.lit(i), F.lit(seed)).cast("double") / F.lit(float(2**63))
-            ),
+        comp = F.array(
+            *[
+                F.lit(
+                    spark_xxhash64(("int", j), ("int", i), ("int", seed))
+                    / float(2**63)
+                )
+                for j in range(dim)
+            ]
         )
         d = _dot(vec, comp)
         bucket = bucket + F.when(d > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0))
@@ -284,10 +296,18 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """(a, b, cosine) pairs with cosine >= threshold, bucketed self-join
     (embedding-cosine near-dup path of the dedup suite)."""
-    c = with_normalized(corpus, vec_col).select(
-        F.col(id_col),
-        F.col("nvec"),
-        _hyperplane_bucket(F.col("nvec"), dim, n_planes, seed).alias("bucket"),
+    from ..plans.checkpoints import flat_checkpoint
+    from ..plans.partitioning import ensure_parallelism
+
+    # normalize + bucket ONCE (the self-join's two sides otherwise both
+    # recompute the per-row vector math), spread a single-split corpus
+    # across the cores first (guide §2.5)
+    c = flat_checkpoint(
+        with_normalized(ensure_parallelism(corpus), vec_col).select(
+            F.col(id_col),
+            F.col("nvec"),
+            _hyperplane_bucket(F.col("nvec"), dim, n_planes, seed).alias("bucket"),
+        )
     )
     left = c.select(F.col(id_col).alias("a"), F.col("nvec").alias("va"), "bucket")
     right = c.select(F.col(id_col).alias("b"), F.col("nvec").alias("vb"), "bucket")

@@ -26,7 +26,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from .triangles import BIG_EDGE_THRESHOLD, _undirected_simple_edges
+from .triangles import (
+    BIG_EDGE_THRESHOLD,
+    PACKED_KEY_MAX_VERTICES,
+    _undirected_simple_edges,
+)
 
 # per-round deletion batches up to this size use the incremental
 # destroyed-triangle decrement (work Σ deg over the batch, broadcast seed);
@@ -35,7 +39,9 @@ from .triangles import BIG_EDGE_THRESHOLD, _undirected_simple_edges
 INCREMENTAL_MAX_DELETED = 500_000
 
 
-def _support(edges: DataFrame, big: bool = False) -> DataFrame:
+def _support(
+    edges: DataFrame, big: bool = False, n_vertices: int | None = None
+) -> DataFrame:
     """Per-edge triangle support over an (u,v) u<v edge set: for each edge,
     the number of triangles it participates in.
 
@@ -43,7 +49,12 @@ def _support(edges: DataFrame, big: bool = False) -> DataFrame:
     semi-join — same dispatch as ``triangles._triangle_rows_cached``: a
     BroadcastHashJoin builds its hash relation single-threaded on the
     driver (measured FLAT 2→8 scaling on RMAT-18) and is impossible at
-    10^12 edges; shuffle_hash builds per-partition maps in parallel."""
+    10^12 edges; shuffle_hash builds per-partition maps in parallel.
+
+    ``n_vertices`` (when known and < 2^31) packs the closing join's
+    (b, c) pair into ONE long key — the LongHashedRelation probe that
+    measured 3-4x faster than the two-key probe on the triangle kernel
+    (triangles.PACKED_KEY_MAX_VERTICES)."""
     deg = (
         edges.select(F.col("u").alias("vid"))
         .unionAll(edges.select(F.col("v").alias("vid")))
@@ -69,16 +80,19 @@ def _support(edges: DataFrame, big: bool = False) -> DataFrame:
     sh = (lambda df: df.hint("shuffle_hash")) if big else (lambda df: df)
     w1 = o.select(F.col("lo").alias("p"), F.col("hi").alias("b"))
     w2 = o.select(F.col("lo").alias("p"), F.col("hi").alias("c"))
-    tri = (
-        w1.join(sh(w2), "p")
-        .filter(F.col("b") < F.col("c"))
-        .join(
+    wedges = w1.join(sh(w2), "p").filter(F.col("b") < F.col("c"))
+    if n_vertices is not None and 0 < n_vertices < PACKED_KEY_MAX_VERTICES:
+        v = F.lit(int(n_vertices))
+        ek = edges.select((F.col("u") * v + F.col("v")).alias("uv"))
+        tri = wedges.join(
+            sh(ek), (F.col("b") * v + F.col("c")) == F.col("uv"), "left_semi"
+        ).select(F.col("p").alias("a"), "b", "c")
+    else:
+        tri = wedges.join(
             sh(edges),
             (F.col("b") == F.col("u")) & (F.col("c") == F.col("v")),
             "left_semi",
-        )
-        .select(F.col("p").alias("a"), "b", "c")
-    )
+        ).select(F.col("p").alias("a"), "b", "c")
     # each triangle supports its 3 edges (normalize to u<v)
     e1 = tri.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
     e2 = tri.select(F.least("a", "c").alias("u"), F.greatest("a", "c").alias("v"))
@@ -140,6 +154,7 @@ def _truss_state(
     collect_partition_metrics: bool = False,
     big: bool = False,
     support_state: DataFrame | None = None,
+    n_vertices: int | None = None,
 ) -> DataFrame:
     """Fixpoint (u, v, support) state of the k-truss (support >= k-2).
 
@@ -179,7 +194,9 @@ def _truss_state(
             # a huge deletion batch (typically round 1): Σ deg over D
             # approaches the full wedge join — recompute support on the
             # survivor graph directly instead
-            return _support(survivors.select("u", "v"), big=big)
+            return _support(
+                survivors.select("u", "v"), big=big, n_vertices=n_vertices
+            )
         g_edges = state.select("u", "v")
         sym = g_edges.select(F.col("u").alias("x"), F.col("v").alias("n")).unionAll(
             g_edges.select(F.col("v").alias("x"), F.col("u").alias("n"))
@@ -188,11 +205,24 @@ def _truss_state(
             F.broadcast(deleted.select(F.col("u").alias("x"), F.col("v").alias("dv"))),
             "x",
         ).select(F.col("x").alias("du"), "dv", F.col("n").alias("w"))
-        tri = wedge.join(
-            sh(sym.select(F.col("x").alias("dv"), F.col("n").alias("w"))),
-            ["dv", "w"],
-            "left_semi",
-        )
+        if n_vertices is not None and 0 < n_vertices < PACKED_KEY_MAX_VERTICES:
+            # packed single-long probe key — see _support
+            v_ = F.lit(int(n_vertices))
+            tri = wedge.join(
+                sh(
+                    sym.select(
+                        (F.col("x") * v_ + F.col("n")).alias("dvw")
+                    )
+                ),
+                (F.col("dv") * v_ + F.col("w")) == F.col("dvw"),
+                "left_semi",
+            )
+        else:
+            tri = wedge.join(
+                sh(sym.select(F.col("x").alias("dv"), F.col("n").alias("w"))),
+                ["dv", "w"],
+                "left_semi",
+            )
         triples = tri.select(
             F.array_sort(F.array("du", "dv", "w")).alias("t")
         ).distinct()
@@ -223,7 +253,7 @@ def _truss_state(
     )
     if support_state is None:
         edges = _core_edges(edges, k - 1)
-        support_state = _support(edges, big=big)
+        support_state = _support(edges, big=big, n_vertices=n_vertices)
     return loop.run(support_state)
 
 
@@ -234,11 +264,13 @@ def _truss_edges(
     checkpoint_dir: str | None = None,
     collect_partition_metrics: bool = False,
     big: bool = False,
+    n_vertices: int | None = None,
 ) -> DataFrame:
     """Surviving (u,v) edge set of the k-truss (support >= k-2 fixpoint)."""
     return _truss_state(
         edges, k, max_rounds=max_rounds, checkpoint_dir=checkpoint_dir,
         collect_partition_metrics=collect_partition_metrics, big=big,
+        n_vertices=n_vertices,
     ).select("u", "v")
 
 
@@ -246,7 +278,10 @@ def k_truss(graph: Graph, k: int, checkpoint_dir: str | None = None) -> DataFram
     """(u, v, value) over canonical u<v edges: -1 survives, k-1 deleted."""
     edges = _undirected_simple_edges(graph)
     big = graph.n_edges >= BIG_EDGE_THRESHOLD
-    kept = _truss_edges(edges, k, checkpoint_dir=checkpoint_dir, big=big)
+    kept = _truss_edges(
+        edges, k, checkpoint_dir=checkpoint_dir, big=big,
+        n_vertices=graph.n_vertices,
+    )
     return edges.join(kept.withColumn("_kept", F.lit(1)), ["u", "v"], "left").select(
         "u",
         "v",
@@ -268,7 +303,8 @@ def max_truss(graph: Graph) -> int:
     if edges.isEmpty():
         return 0
     big = edges.count() >= BIG_EDGE_THRESHOLD
-    sup0 = _support(edges, big=big).localCheckpoint(eager=True)
+    n_verts = graph.n_vertices
+    sup0 = _support(edges, big=big, n_vertices=n_verts).localCheckpoint(eager=True)
     max_sup = sup0.agg(F.max("support")).collect()[0][0] or 0
     if max_sup == 0:
         return 2
@@ -278,7 +314,9 @@ def max_truss(graph: Graph) -> int:
         mid = (lo + hi) // 2
         # thread the largest known-feasible fixpoint state: supports are
         # exact within its surviving graph, so no probe recomputes support
-        state = _truss_state(edges, mid, big=big, support_state=best_state)
+        state = _truss_state(
+            edges, mid, big=big, support_state=best_state, n_vertices=n_verts
+        )
         if state.isEmpty():
             hi = mid - 1
         else:
@@ -296,8 +334,11 @@ def truss_decomposition(graph: Graph) -> DataFrame:
     cur = edges
     state = None  # (u, v, support) fixpoint of level k-1, threaded through
     k = 3
+    n_verts = graph.n_vertices
     while not cur.isEmpty():
-        state = _truss_state(cur, k, big=big, support_state=state)
+        state = _truss_state(
+            cur, k, big=big, support_state=state, n_vertices=n_verts
+        )
         kept = state.select("u", "v")
         removed = cur.join(kept, ["u", "v"], "left_anti").withColumn(
             "truss", F.lit(k - 1)
