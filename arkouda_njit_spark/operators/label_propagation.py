@@ -55,14 +55,18 @@ def label_propagation(
     init = graph.vertices.select("vid", F.col("vid").alias("label"))
 
     def step(state: DataFrame, i: int) -> DataFrame:
-        # State join strategy: broadcast while small, shuffle_hash beyond
-        # (plans/joins.py); neighbor-label frequencies are map-side
+        # State join strategy: shuffle_hash unconditionally (see
+        # connected_components); neighbor-label frequencies are map-side
         # combined. Isolated vertices keep their label via a zero-count row
         # unioned into the SAME aggregation (any real neighbor count >= 1
         # beats it) — no keep-label join in the loop.
         nbr_labels = (
             edges.join(
-                state_join_side(state.withColumnRenamed("vid", "src"), graph.n_vertices),
+                state_join_side(
+                    state.withColumnRenamed("vid", "src"),
+                    graph.n_vertices,
+                    strategy="shuffle_hash",
+                ),
                 "src",
             )
             .select(F.col("dst").alias("vid"), "label", F.lit(1).alias("one"))
