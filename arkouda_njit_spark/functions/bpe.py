@@ -146,7 +146,11 @@ def _apply_merge(syms: Column, a: str, b: str) -> Column:
 
     def step(st: Column, i: Column) -> Column:
         cur = F.element_at(syms, i)
-        nxt = F.element_at(syms, i + 1)  # null at the end — comparison is false
+        # F.get is 0-based and null-safe under Spark 4's ANSI default —
+        # element_at(syms, n+1) on the last fold step only avoided an
+        # out-of-bounds error because the (i < n) conjunct short-circuited
+        # first, which conjunct reordering could break (round-5 ADVICE #5)
+        nxt = F.get(syms, i)  # syms[i+1] in 1-based terms; null at the end
         take_pair = (~st["skip"]) & (i < n) & (cur == F.lit(a)) & (nxt == F.lit(b))
         return (
             F.when(

@@ -83,6 +83,11 @@ def train_logistic(
             "expression-list plan stops being sensible; batch the dot "
             "products through Arrow instead"
         )
+    # Nulls make the per-feature sums skip different row subsets (F.sum
+    # ignores null terms per-expression), silently fitting gradient and
+    # Hessian over inconsistent populations — drop incomplete rows up
+    # front so every sum ranges over the same rows (round-5 ADVICE #2).
+    df = df.na.drop(subset=[*features, label])
     w = np.zeros(k + 1)
     n_iter = 0
     for it in range(iterations):
@@ -99,6 +104,11 @@ def train_logistic(
                 xj = F.col(fj).cast("double")
                 cols.append(F.sum(wt * xi * xj).alias(f"h{i + 1}{j + 1}"))
         row = df.agg(*cols).collect()[0]
+        if row["h00"] is None:
+            raise ValueError(
+                "train_logistic: no complete rows (empty input, or every "
+                "row had a null feature/label)"
+            )
 
         g = np.zeros(k + 1)
         H = np.zeros((k + 1, k + 1))

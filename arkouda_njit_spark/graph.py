@@ -346,6 +346,20 @@ class Graph:
         ew = self.edges
         vw = self.vertices
         if assignment is not None:
+            # a vid absent from the assignment would silently vanish from
+            # the persisted tables through the inner joins below — the
+            # same failure mode balanced_partition validates on its init
+            # path; refuse instead (round-5 ADVICE #1)
+            missing = self.vertices.join(
+                assignment.select("vid"), "vid", "left_anti"
+            ).count()
+            if missing:
+                raise ValueError(
+                    f"write_bucketed: assignment is missing {missing} "
+                    "vertices of this graph; a partial (or foreign) "
+                    "assignment would silently drop their rows from the "
+                    "persisted layout"
+                )
             blocks = assignment.select(
                 F.col("vid").alias("src"),
                 F.col(assignment_col).alias("_block"),

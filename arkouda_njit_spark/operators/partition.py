@@ -120,6 +120,13 @@ def balanced_partition(
     cap = int(math.ceil(slack * n / num_blocks))
 
     if graph.directed:
+        # Symmetrization WITHOUT dedup is intentional: a reciprocal pair
+        # (u->v and v->u) contributes neighbor-count 2 vs 1 for a one-way
+        # link, so mutual links attract their endpoints into the same
+        # block twice as strongly — for the crawl graphs this partitioner
+        # targets, reciprocity is exactly the locality signal worth
+        # weighting (round-5 ADVICE #4: documented as intended; pass an
+        # undirected Graph for strictly unweighted-dyad semantics).
         edges = (
             graph.edges.select("src", "dst")
             .unionAll(

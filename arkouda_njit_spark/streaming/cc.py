@@ -137,6 +137,14 @@ class StreamingConnectedComponents:
         os.replace(tmp, self.manifest_path)  # atomic on POSIX
 
     def labels(self) -> DataFrame:
+        """Current (vid, label) snapshot.
+
+        Single-writer / no-stale-reader contract: ``process_batch``
+        reclaims the superseded snapshot directory immediately after the
+        atomic manifest promote, so a DataFrame obtained here must be
+        consumed (or checkpointed) BEFORE the next batch is processed —
+        a lazy plan executed after a later promote fails with
+        FileNotFoundException on the deleted files (round-5 ADVICE #3)."""
         m = self._manifest()
         if m["labels_dir"]:
             return self.spark.read.parquet(
