@@ -827,7 +827,9 @@ def q_edge_support(spark, sf_dir):
 
     g = _graph_b(spark, sf_dir)
     lab = _labels(g)
-    sup = _support(_undirected_simple_edges(g), n_vertices=g.n_vertices)
+    sup = _support(
+        _undirected_simple_edges(g), n_vertices=g.n_vertices, n_edges=g.n_edges
+    )
     return (
         sup.join(lab.withColumnRenamed("vid", "u").withColumnRenamed("node", "nu"), "u")
         .join(lab.withColumnRenamed("vid", "v").withColumnRenamed("node", "nv"), "v")

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ..graph import Graph
 from .triangles import (
     BIG_EDGE_THRESHOLD,
+    PACKED_BROADCAST_MAX_EDGES,
     PACKED_KEY_MAX_VERTICES,
     _undirected_simple_edges,
 )
@@ -40,7 +41,10 @@ INCREMENTAL_MAX_DELETED = 500_000
 
 
 def _support(
-    edges: DataFrame, big: bool = False, n_vertices: int | None = None
+    edges: DataFrame,
+    big: bool = False,
+    n_vertices: int | None = None,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """Per-edge triangle support over an (u,v) u<v edge set: for each edge,
     the number of triangles it participates in.
@@ -82,10 +86,16 @@ def _support(
     w2 = o.select(F.col("lo").alias("p"), F.col("hi").alias("c"))
     wedges = w1.join(sh(w2), "p").filter(F.col("b") < F.col("c"))
     if n_vertices is not None and 0 < n_vertices < PACKED_KEY_MAX_VERTICES:
+        # packed build side stays broadcast far beyond the two-key
+        # threshold — shuffle_hash would exchange the wedge STREAM by the
+        # key (triangles.PACKED_BROADCAST_MAX_EDGES: measured 5.8 s vs
+        # 18.5 s at 1.86M edges / 754M wedges)
         v = F.lit(int(n_vertices))
         ek = edges.select((F.col("u") * v + F.col("v")).alias("uv"))
+        if n_edges is not None and n_edges >= PACKED_BROADCAST_MAX_EDGES:
+            ek = ek.hint("shuffle_hash")
         tri = wedges.join(
-            sh(ek), (F.col("b") * v + F.col("c")) == F.col("uv"), "left_semi"
+            ek, (F.col("b") * v + F.col("c")) == F.col("uv"), "left_semi"
         ).select(F.col("p").alias("a"), "b", "c")
     else:
         tri = wedges.join(
@@ -155,6 +165,7 @@ def _truss_state(
     big: bool = False,
     support_state: DataFrame | None = None,
     n_vertices: int | None = None,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """Fixpoint (u, v, support) state of the k-truss (support >= k-2).
 
@@ -195,7 +206,10 @@ def _truss_state(
             # approaches the full wedge join — recompute support on the
             # survivor graph directly instead
             return _support(
-                survivors.select("u", "v"), big=big, n_vertices=n_vertices
+                survivors.select("u", "v"),
+                big=big,
+                n_vertices=n_vertices,
+                n_edges=n_edges,
             )
         g_edges = state.select("u", "v")
         sym = g_edges.select(F.col("u").alias("x"), F.col("v").alias("n")).unionAll(
@@ -206,14 +220,17 @@ def _truss_state(
             "x",
         ).select(F.col("x").alias("du"), "dv", F.col("n").alias("w"))
         if n_vertices is not None and 0 < n_vertices < PACKED_KEY_MAX_VERTICES:
-            # packed single-long probe key — see _support
+            # packed single-long probe key, broadcast-built below the
+            # packed cap — see _support
             v_ = F.lit(int(n_vertices))
+            symk = sym.select((F.col("x") * v_ + F.col("n")).alias("dvw"))
+            if (
+                n_edges is not None
+                and 2 * n_edges >= PACKED_BROADCAST_MAX_EDGES
+            ):
+                symk = symk.hint("shuffle_hash")
             tri = wedge.join(
-                sh(
-                    sym.select(
-                        (F.col("x") * v_ + F.col("n")).alias("dvw")
-                    )
-                ),
+                symk,
                 (F.col("dv") * v_ + F.col("w")) == F.col("dvw"),
                 "left_semi",
             )
@@ -253,7 +270,9 @@ def _truss_state(
     )
     if support_state is None:
         edges = _core_edges(edges, k - 1)
-        support_state = _support(edges, big=big, n_vertices=n_vertices)
+        support_state = _support(
+            edges, big=big, n_vertices=n_vertices, n_edges=n_edges
+        )
     return loop.run(support_state)
 
 
@@ -265,12 +284,13 @@ def _truss_edges(
     collect_partition_metrics: bool = False,
     big: bool = False,
     n_vertices: int | None = None,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """Surviving (u,v) edge set of the k-truss (support >= k-2 fixpoint)."""
     return _truss_state(
         edges, k, max_rounds=max_rounds, checkpoint_dir=checkpoint_dir,
         collect_partition_metrics=collect_partition_metrics, big=big,
-        n_vertices=n_vertices,
+        n_vertices=n_vertices, n_edges=n_edges,
     ).select("u", "v")
 
 
@@ -280,7 +300,7 @@ def k_truss(graph: Graph, k: int, checkpoint_dir: str | None = None) -> DataFram
     big = graph.n_edges >= BIG_EDGE_THRESHOLD
     kept = _truss_edges(
         edges, k, checkpoint_dir=checkpoint_dir, big=big,
-        n_vertices=graph.n_vertices,
+        n_vertices=graph.n_vertices, n_edges=graph.n_edges,
     )
     return edges.join(kept.withColumn("_kept", F.lit(1)), ["u", "v"], "left").select(
         "u",
@@ -302,9 +322,12 @@ def max_truss(graph: Graph) -> int:
     edges = _undirected_simple_edges(graph).localCheckpoint(eager=True)
     if edges.isEmpty():
         return 0
-    big = edges.count() >= BIG_EDGE_THRESHOLD
+    m = edges.count()
+    big = m >= BIG_EDGE_THRESHOLD
     n_verts = graph.n_vertices
-    sup0 = _support(edges, big=big, n_vertices=n_verts).localCheckpoint(eager=True)
+    sup0 = _support(
+        edges, big=big, n_vertices=n_verts, n_edges=m
+    ).localCheckpoint(eager=True)
     max_sup = sup0.agg(F.max("support")).collect()[0][0] or 0
     if max_sup == 0:
         return 2
@@ -315,7 +338,8 @@ def max_truss(graph: Graph) -> int:
         # thread the largest known-feasible fixpoint state: supports are
         # exact within its surviving graph, so no probe recomputes support
         state = _truss_state(
-            edges, mid, big=big, support_state=best_state, n_vertices=n_verts
+            edges, mid, big=big, support_state=best_state,
+            n_vertices=n_verts, n_edges=m,
         )
         if state.isEmpty():
             hi = mid - 1
@@ -329,7 +353,8 @@ def truss_decomposition(graph: Graph) -> DataFrame:
     """(u, v, truss) over canonical u<v edges: max k per edge, min 2."""
     edges = _undirected_simple_edges(graph).localCheckpoint(eager=True)
     spark = edges.sparkSession
-    big = edges.count() >= BIG_EDGE_THRESHOLD
+    m = edges.count()
+    big = m >= BIG_EDGE_THRESHOLD
     assigned = None  # (u, v, truss)
     cur = edges
     state = None  # (u, v, support) fixpoint of level k-1, threaded through
@@ -337,7 +362,8 @@ def truss_decomposition(graph: Graph) -> DataFrame:
     n_verts = graph.n_vertices
     while not cur.isEmpty():
         state = _truss_state(
-            cur, k, big=big, support_state=state, n_vertices=n_verts
+            cur, k, big=big, support_state=state, n_vertices=n_verts,
+            n_edges=m,
         )
         kept = state.select("u", "v")
         removed = cur.join(kept, ["u", "v"], "left_anti").withColumn(

@@ -49,20 +49,39 @@ WEDGE_SHUFFLE_HASH_THRESHOLD = 150_000
 # 2^31 vertices the product overflows and the two-key join is kept.
 PACKED_KEY_MAX_VERTICES = 1 << 31
 
+# the packed-key build side stays BROADCAST far beyond the two-key
+# threshold: a LongHashedRelation of packed longs is ~16-32 B/key
+# (~0.5-1 GB at this cap, well under the 8 GB broadcast limit), while the
+# shuffle_hash alternative exchanges the O(m^1.5) wedge STREAM by the
+# key — measured at 4x bench scale (1.86M edges, 754M wedges): broadcast
+# 5.8 s vs shuffle_hash 18.5 s for the closing join (r6). Past the cap
+# (or past PACKED_KEY_MAX_VERTICES) the relation itself is the memory
+# hazard and the stream shuffle is the only option.
+PACKED_BROADCAST_MAX_EDGES = 32_000_000
 
-def _closing_semi_join(wedges: DataFrame, und: DataFrame, n_vertices: int, big: bool):
+
+def _closing_semi_join(
+    wedges: DataFrame, und: DataFrame, n_vertices: int, n_edges: int
+):
     """Semi-join wedge rows (p, b, c) against the canonical pair set
     (u, v): keep wedges whose (b, c) endpoint pair is an edge. Packs the
     pair into one long key when it cannot overflow (see
-    PACKED_KEY_MAX_VERTICES); the build side is broadcast while the pair
-    set is small and shuffle_hash beyond (BIG_EDGE_THRESHOLD)."""
-    sh = (lambda df: df.hint("shuffle_hash")) if big else (lambda df: df)
+    PACKED_KEY_MAX_VERTICES); the packed build side broadcasts up to
+    PACKED_BROADCAST_MAX_EDGES, the two-key fallback up to
+    BIG_EDGE_THRESHOLD; beyond, shuffle_hash."""
     if 0 < n_vertices < PACKED_KEY_MAX_VERTICES:
         v = F.lit(int(n_vertices))
         undk = und.select((F.col("u") * v + F.col("v")).alias("uv"))
+        if n_edges >= PACKED_BROADCAST_MAX_EDGES:
+            undk = undk.hint("shuffle_hash")
         return wedges.join(
-            sh(undk), (F.col("b") * v + F.col("c")) == F.col("uv"), "left_semi"
+            undk, (F.col("b") * v + F.col("c")) == F.col("uv"), "left_semi"
         ).select(F.col("p").alias("a"), "b", "c")
+    sh = (
+        (lambda df: df.hint("shuffle_hash"))
+        if n_edges >= BIG_EDGE_THRESHOLD
+        else (lambda df: df)
+    )
     return wedges.join(
         sh(und),
         (F.col("b") == F.col("u")) & (F.col("c") == F.col("v")),
@@ -135,13 +154,12 @@ def _triangle_rows_cached(
     # exchange-free (both sides share o's hashpartitioning(lo)) and builds
     # per-partition hash maps in parallel; small graphs stay on the
     # broadcast fast path.
-    big = graph.n_edges >= BIG_EDGE_THRESHOLD
     wsh = graph.n_edges >= WEDGE_SHUFFLE_HASH_THRESHOLD
     sh = (lambda df: df.hint("shuffle_hash")) if wsh else (lambda df: df)
     w1 = o.select(F.col("lo").alias("p"), F.col("hi").alias("b"))
     w2 = o.select(F.col("lo").alias("p"), F.col("hi").alias("c"))
     wedges = w1.join(sh(w2), "p").filter(F.col("b") < F.col("c"))
-    closed = _closing_semi_join(wedges, und, graph.n_vertices, big)
+    closed = _closing_semi_join(wedges, und, graph.n_vertices, graph.n_edges)
     return closed, [und, o]
 
 
@@ -175,13 +193,12 @@ def _triangle_rows_localized(
         .repartition(P, "lo")
         .persist()
     )
-    big = graph.n_edges >= BIG_EDGE_THRESHOLD
     wsh = graph.n_edges >= WEDGE_SHUFFLE_HASH_THRESHOLD
     sh = (lambda df: df.hint("shuffle_hash")) if wsh else (lambda df: df)
     w1 = o.select(F.col("lo").alias("p"), F.col("hi").alias("b"))
     w2 = o.select(F.col("lo").alias("p"), F.col("hi").alias("c"))
     wedges = w1.join(sh(w2), "p").filter(F.col("b") < F.col("c"))
-    closed = _closing_semi_join(wedges, und, graph.n_vertices, big)
+    closed = _closing_semi_join(wedges, und, graph.n_vertices, graph.n_edges)
     return closed, [und, o]
 
 
